@@ -1,0 +1,440 @@
+"""Polygon boolean operations (union / intersection / difference / xor).
+
+Replaces GEOS's overlay engine (shapely `.union` / `.intersection` calls in
+robosat/spatial/core.py:25-40,56-77 and robosat/tools/{merge,dedupe}.py) with a
+slab-decomposition overlay:
+
+1. snap all coordinates to a fine grid scaled to the input extent,
+2. split every segment at every segment-segment intersection (including
+   collinear overlaps and T-junctions),
+3. cut the plane into vertical slabs at every endpoint x; inside a slab no two
+   segments cross, so regions stack bottom-to-top and each region's membership
+   in either input follows from even-odd parity counting,
+4. keep the trapezoids satisfying the boolean predicate; areas are summed
+   exactly, and for geometry output the trapezoid boundary edges are emitted
+   with interior-on-left orientation, opposite edges cancelled, and the
+   remaining edges linked into rings (sharpest-left-turn rule at junctions).
+
+Compared to a Bentley-Ottmann/Martinez-Rueda sweep this is O(n^2) in segment
+count but has no sweep-status comparator edge cases; the pipeline's polygons
+(OSM ways, simplified mask contours, buffered pieces) are small, and large
+collection unions are done divide-and-conquer (`union_all`) so each overlay
+stays small.
+"""
+
+import math
+from collections import defaultdict
+
+import numpy as np
+
+from robosat_tpu.geo.geometry import (
+    MultiPolygon,
+    Polygon,
+    point_in_ring,
+    representative_point,
+    ring_area,
+)
+
+_PREDICATES = {
+    "union": lambda a, b: a or b,
+    "intersection": lambda a, b: a and b,
+    "difference": lambda a, b: a and not b,
+    "xor": lambda a, b: a != b,
+}
+
+
+def _collect_rings(geom):
+    """All rings of a Polygon/MultiPolygon as plain coordinate arrays."""
+    if geom is None:
+        return []
+    if isinstance(geom, MultiPolygon):
+        rings = []
+        for p in geom.geoms:
+            rings.extend(p.rings)
+        return rings
+    if isinstance(geom, Polygon):
+        return list(geom.rings)
+    raise ValueError("boolean ops support Polygon/MultiPolygon, got {}".format(type(geom)))
+
+
+def _snap_quantum(rings_a, rings_b):
+    lo, hi = math.inf, -math.inf
+    for rings in (rings_a, rings_b):
+        for r in rings:
+            if len(r):
+                lo = min(lo, float(np.min(r)))
+                hi = max(hi, float(np.max(r)))
+    extent = max(hi - lo, abs(hi), abs(lo), 1e-30)
+    return extent * 1e-10
+
+
+def _segments_from_rings(rings, tag, q):
+    """Snapped (p, q, tag) segments from rings; drops degenerate edges."""
+    segs = []
+    for ring in rings:
+        if len(ring) < 3:
+            continue
+        snapped = np.round(np.asarray(ring, dtype=np.float64) / q) * q
+        n = len(snapped)
+        for i in range(n):
+            p1 = (snapped[i, 0], snapped[i, 1])
+            p2 = (snapped[(i + 1) % n, 0], snapped[(i + 1) % n, 1])
+            if p1 != p2:
+                segs.append((p1, p2, tag))
+    return segs
+
+
+def _seg_split_points(a1, a2, b1, b2):
+    """Points where segment b should split segment a (and vice versa).
+
+    Returns (pts_on_a, pts_on_b): intersection/touch points interior to each
+    segment's parameter range (endpoints excluded by the caller's dedupe).
+    """
+    ax, ay = a2[0] - a1[0], a2[1] - a1[1]
+    bx, by = b2[0] - b1[0], b2[1] - b1[1]
+    denom = ax * by - ay * bx
+
+    if denom != 0.0:
+        # Non-parallel: solve for parameters.
+        cx, cy = b1[0] - a1[0], b1[1] - a1[1]
+        t = (cx * by - cy * bx) / denom
+        s = (cx * ay - cy * ax) / denom
+        if -1e-12 <= t <= 1.0 + 1e-12 and -1e-12 <= s <= 1.0 + 1e-12:
+            px = a1[0] + t * ax
+            py = a1[1] + t * ay
+            return [(px, py)], [(px, py)]
+        return [], []
+
+    # Parallel: collinear only if b1 lies on line a.
+    if (b1[0] - a1[0]) * ay - (b1[1] - a1[1]) * ax != 0.0:
+        return [], []
+    # Collinear: each segment splits at the other's endpoints that fall inside.
+    return [b1, b2], [a1, a2]
+
+
+def _param_on_segment(p, s1, s2):
+    """Parameter of p along segment [s1, s2] via the dominant axis, or None."""
+    dx, dy = s2[0] - s1[0], s2[1] - s1[1]
+    if abs(dx) >= abs(dy):
+        if dx == 0.0:
+            return None
+        t = (p[0] - s1[0]) / dx
+    else:
+        t = (p[1] - s1[1]) / dy
+    return t if 0.0 < t < 1.0 else None
+
+
+def _split_all_segments(segs, q):
+    """Split every segment at every crossing/touch point, snapping to grid."""
+    n = len(segs)
+    split_pts = [set() for _ in range(n)]
+
+    # Bounding boxes for a cheap prefilter.
+    boxes = []
+    for p1, p2, _ in segs:
+        boxes.append((min(p1[0], p2[0]), min(p1[1], p2[1]), max(p1[0], p2[0]), max(p1[1], p2[1])))
+
+    order = sorted(range(n), key=lambda i: boxes[i][0])
+    for oi in range(n):
+        i = order[oi]
+        bi = boxes[i]
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            bj = boxes[j]
+            if bj[0] > bi[2]:
+                break
+            if bj[2] < bi[0] or bj[1] > bi[3] or bj[3] < bi[1]:
+                continue
+            a1, a2, _ = segs[i]
+            b1, b2, _ = segs[j]
+            pts_a, pts_b = _seg_split_points(a1, a2, b1, b2)
+            for p in pts_a:
+                sp = (round(p[0] / q) * q, round(p[1] / q) * q)
+                t = _param_on_segment(sp, a1, a2)
+                if t is not None:
+                    split_pts[i].add((t, sp))
+            for p in pts_b:
+                sp = (round(p[0] / q) * q, round(p[1] / q) * q)
+                t = _param_on_segment(sp, b1, b2)
+                if t is not None:
+                    split_pts[j].add((t, sp))
+
+    out = []
+    for i, (p1, p2, tag) in enumerate(segs):
+        pts = sorted(split_pts[i])
+        prev = p1
+        for _, sp in pts:
+            if sp != prev:
+                out.append((prev, sp, tag))
+                prev = sp
+        if prev != p2:
+            out.append((prev, p2, tag))
+    return out
+
+
+def _canonical_segments(segs):
+    """Merge coincident segments, tracking even-odd parity per input tag."""
+    parity = defaultdict(lambda: [0, 0])
+    for p1, p2, tag in segs:
+        key = (p1, p2) if p1 <= p2 else (p2, p1)
+        parity[key][tag] ^= 1
+    merged = []
+    for (p1, p2), (pa, pb) in parity.items():
+        if pa or pb:
+            merged.append((p1, p2, pa, pb))
+    return merged
+
+
+class _Slab:
+    __slots__ = ("x0", "x1", "regions")
+
+
+def _overlay(geom_a, geom_b, op, want_geometry):
+    """Core slab overlay. Returns (area, edge soup or None)."""
+    pred = _PREDICATES[op]
+    rings_a = _collect_rings(geom_a)
+    rings_b = _collect_rings(geom_b)
+    q = _snap_quantum(rings_a, rings_b)
+
+    segs = _segments_from_rings(rings_a, 0, q) + _segments_from_rings(rings_b, 1, q)
+    if not segs:
+        return 0.0, []
+    segs = _split_all_segments(segs, q)
+    segs = _canonical_segments(segs)
+
+    # Non-vertical spanning segments; all endpoint xs define the slabs.
+    xs = sorted({p[0] for s in segs for p in (s[0], s[1])})
+    spans = [(p1, p2, pa, pb) for p1, p2, pa, pb in segs if p1[0] != p2[0]]
+
+    total_area = 0.0
+    edges = [] if want_geometry else None  # directed, interior on left
+    vertical = defaultdict(list) if want_geometry else None  # x -> (ylo, yhi, sign)
+
+    for k in range(len(xs) - 1):
+        x0, x1 = xs[k], xs[k + 1]
+        if x1 <= x0:
+            continue
+        xm = 0.5 * (x0 + x1)
+        active = []
+        for p1, p2, pa, pb in spans:
+            lo, hi = (p1, p2) if p1[0] < p2[0] else (p2, p1)
+            if lo[0] <= x0 and hi[0] >= x1:
+                t = (xm - lo[0]) / (hi[0] - lo[0])
+                ym = lo[1] + t * (hi[1] - lo[1])
+                y0 = lo[1] + (x0 - lo[0]) / (hi[0] - lo[0]) * (hi[1] - lo[1])
+                y1 = lo[1] + (x1 - lo[0]) / (hi[0] - lo[0]) * (hi[1] - lo[1])
+                active.append((ym, y0, y1, pa, pb))
+        if not active:
+            continue
+        active.sort(key=lambda e: e[0])
+
+        in_a = in_b = 0
+        for idx in range(len(active) - 1):
+            ym, y0, y1, pa, pb = active[idx]
+            in_a ^= pa
+            in_b ^= pb
+            if pred(in_a, in_b):
+                nym, ny0, ny1, _, _ = active[idx + 1]
+                total_area += (x1 - x0) * (nym - ym)
+                if want_geometry:
+                    # Snap trapezoid corner ys so edges cancel across slabs.
+                    by0 = round(y0 / q) * q
+                    by1 = round(y1 / q) * q
+                    ty0 = round(ny0 / q) * q
+                    ty1 = round(ny1 / q) * q
+                    # Bottom: left->right (interior above/left).
+                    edges.append(((x0, by0), (x1, by1)))
+                    # Top: right->left.
+                    edges.append((((x1, ty1)), (x0, ty0)))
+                    # Right side: upward at x1; left side: downward at x0.
+                    if ty1 > by1:
+                        vertical[x1].append((by1, ty1, +1))
+                    if ty0 > by0:
+                        vertical[x0].append((by0, ty0, -1))
+
+    if not want_geometry:
+        return total_area, None
+
+    # Cancel opposite horizontal-ish edges.
+    net = defaultdict(int)
+    for p1, p2 in edges:
+        if p1 == p2:
+            continue
+        key = (p1, p2) if p1 <= p2 else (p2, p1)
+        net[key] += 1 if p1 <= p2 else -1
+    directed = []
+    for (p1, p2), count in net.items():
+        for _ in range(abs(count)):
+            directed.append((p1, p2) if count > 0 else (p2, p1))
+
+    # Net vertical boundary intervals per x (cancels partial overlaps exactly).
+    # Breakpoints include every interval endpoint, so an elementary interval is
+    # covered by a source interval iff it contains the midpoint.
+    for x, intervals in vertical.items():
+        breaks = sorted({y for lo, hi, _ in intervals for y in (lo, hi)})
+        for i in range(len(breaks) - 1):
+            lo, hi = breaks[i], breaks[i + 1]
+            mid = 0.5 * (lo + hi)
+            cover = sum(sign for ilo, ihi, sign in intervals if ilo < mid < ihi)
+            if cover > 0:
+                directed.append(((x, lo), (x, hi)))
+            elif cover < 0:
+                directed.append(((x, hi), (x, lo)))
+
+    return total_area, directed
+
+
+def _link_rings(directed_edges):
+    """Link directed (interior-left) edges into closed rings."""
+    out_edges = defaultdict(list)
+    for e in directed_edges:
+        out_edges[e[0]].append(e)
+    used = set()
+    rings = []
+
+    def angle(d):
+        return math.atan2(d[1], d[0])
+
+    for start_edge in directed_edges:
+        if id(start_edge) in used:
+            continue
+        ring = []
+        edge = start_edge
+        closed = False
+        for _ in range(len(directed_edges) + 1):
+            used.add(id(edge))
+            ring.append(edge[0])
+            v = edge[1]
+            if v == start_edge[0]:
+                closed = True
+                break
+            candidates = [e for e in out_edges[v] if id(e) not in used]
+            if not candidates:
+                break
+            d_in = (v[0] - edge[0][0], v[1] - edge[0][1])
+            base = angle(d_in)
+
+            def turn(e):
+                d_out = (e[1][0] - e[0][0], e[1][1] - e[0][1])
+                # CCW angle from incoming direction, in (0, 2*pi].
+                a = angle(d_out) - base
+                while a <= 0:
+                    a += 2 * math.pi
+                while a > 2 * math.pi:
+                    a -= 2 * math.pi
+                return a
+
+            edge = min(candidates, key=turn)
+        if closed and len(ring) >= 3:
+            rings.append(ring)
+    return rings
+
+
+def _simplify_collinear(ring, q):
+    """Drop vertices (nearly) collinear with their neighbors.
+
+    The slab decomposition leaves a vertex on every slanted edge at every slab
+    boundary; after grid snapping these deviate from the true line by at most
+    the quantum, so anything within 2q perpendicular distance of the
+    neighbor chord is a decomposition artifact, not geometry.
+    """
+    if len(ring) < 3:
+        return ring
+    out = list(ring)
+    tol = 2.0 * q
+    changed = True
+    while changed and len(out) >= 3:
+        changed = False
+        kept = []
+        n = len(out)
+        for i in range(n):
+            a = out[(i - 1) % n]
+            b = out[i]
+            c = out[(i + 1) % n]
+            acx, acy = c[0] - a[0], c[1] - a[1]
+            cross = (b[0] - a[0]) * acy - (b[1] - a[1]) * acx
+            chord = math.hypot(acx, acy)
+            # Perpendicular distance of b from chord a-c; also drop exact spikes.
+            if chord > 0 and abs(cross) / chord <= tol:
+                changed = True
+                continue
+            kept.append(b)
+        out = kept
+    return out if len(out) >= 3 else []
+
+
+def _assemble_polygons(rings, q):
+    """Group CCW shells with their CW holes into polygons."""
+    shells = []
+    holes = []
+    for ring in rings:
+        ring = _simplify_collinear(ring, q)
+        if len(ring) < 3:
+            continue
+        arr = np.asarray(ring, dtype=np.float64)
+        a = ring_area(arr)
+        if a > 0:
+            shells.append((a, arr))
+        elif a < 0:
+            holes.append(arr)
+
+    shells.sort(key=lambda t: t[0])  # smallest first => innermost match first
+    polys = [[arr, []] for _, arr in shells]
+    for hole in holes:
+        probe = representative_point(hole)
+        for entry in polys:
+            if point_in_ring(probe, entry[0]):
+                entry[1].append(hole)
+                break
+
+    return MultiPolygon([Polygon(shell, hs) for shell, hs in polys])
+
+
+def boolean_op(geom_a, geom_b, op):
+    """Boolean overlay of two Polygon/MultiPolygon geometries.
+
+    Returns a MultiPolygon (possibly empty). `geom_b` may be None for
+    union-normalization of a single (possibly self-overlapping) geometry.
+    """
+    _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
+    q = _snap_quantum(_collect_rings(geom_a), _collect_rings(geom_b))
+    return _assemble_polygons(_link_rings(directed), q)
+
+
+def overlay_area(geom_a, geom_b, op):
+    """Area of the boolean overlay without constructing geometry (exact)."""
+    area, _ = _overlay(geom_a, geom_b, op, want_geometry=False)
+    return area
+
+
+def union(a, b):
+    return boolean_op(a, b, "union")
+
+
+def intersection(a, b):
+    return boolean_op(a, b, "intersection")
+
+
+def difference(a, b):
+    return boolean_op(a, b, "difference")
+
+
+def union_all(geoms):
+    """Union of many geometries, divide-and-conquer to keep overlays small.
+
+    Parity: robosat/spatial/core.py:25-40 (functools.reduce of .union).
+    """
+    geoms = [g for g in geoms if g is not None and not g.is_empty]
+    if not geoms:
+        return MultiPolygon([])
+    while len(geoms) > 1:
+        merged = []
+        for i in range(0, len(geoms) - 1, 2):
+            merged.append(union(geoms[i], geoms[i + 1]))
+        if len(geoms) % 2:
+            merged.append(geoms[-1])
+        geoms = merged
+    g = geoms[0]
+    if isinstance(g, Polygon):
+        return MultiPolygon([g])
+    return g

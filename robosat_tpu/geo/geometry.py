@@ -1,0 +1,396 @@
+"""Lightweight planar geometry: shapes, predicates, and measures.
+
+Replaces the reference's shapely/GEOS dependency (robosat/spatial/core.py,
+robosat/osm/*.py, robosat/tools/{merge,dedupe}.py) for the subset of geometry
+the pipeline uses: polygon validity, area, orientation, bounds, containment,
+intersection tests, and GeoJSON mapping. Boolean operations (union,
+intersection, difference) live in :mod:`robosat_tpu.geo.clip`; buffering in
+:mod:`robosat_tpu.geo.buffer`.
+
+Rings are numpy (N, 2) float64 arrays of (x, y) and are stored *unclosed*
+(no repeated last vertex); GeoJSON I/O closes/uncloses at the boundary.
+"""
+
+import numpy as np
+
+
+def as_ring(coords):
+    """Normalize a coordinate sequence to an unclosed (N, 2) float64 ring."""
+    ring = np.asarray(coords, dtype=np.float64)
+    if ring.ndim != 2 or ring.shape[1] < 2:
+        raise ValueError("ring must be a sequence of (x, y) points")
+    ring = ring[:, :2]
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return ring
+
+
+def ring_area(ring):
+    """Signed area via the shoelace formula (positive = counter-clockwise)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    return 0.5 * float(np.sum(x * yn - xn * y))
+
+
+def ring_is_simple(ring):
+    """True if no two non-adjacent edges of the ring properly intersect.
+
+    O(n^2) pairwise test — rings in this pipeline are small (OSM ways,
+    simplified contours). Adjacent edges sharing a vertex are allowed; any
+    other contact (crossing, overlap, touch) makes the ring non-simple.
+    """
+    n = len(ring)
+    if n < 3:
+        return False
+    pts = np.asarray(ring, dtype=np.float64)
+    segs = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        p1, p2 = segs[i]
+        if p1[0] == p2[0] and p1[1] == p2[1]:
+            return False  # degenerate zero-length edge
+        for j in range(i + 1, n):
+            adjacent = j == i + 1 or (i == 0 and j == n - 1)
+            q1, q2 = segs[j]
+            if adjacent:
+                # Shared endpoint allowed, but collinear overlap is not.
+                if _collinear_overlap(p1, p2, q1, q2):
+                    return False
+                continue
+            if segments_intersect(p1, p2, q1, q2):
+                return False
+    return True
+
+
+def _orient2d(a, b, c):
+    """Twice the signed area of triangle abc."""
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _on_segment(p, q, r):
+    """True if collinear point r lies within segment pq's bounding box."""
+    return min(p[0], q[0]) <= r[0] <= max(p[0], q[0]) and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+
+
+def segments_intersect(p1, p2, q1, q2):
+    """True if closed segments [p1,p2] and [q1,q2] share any point."""
+    d1 = _orient2d(q1, q2, p1)
+    d2 = _orient2d(q1, q2, p2)
+    d3 = _orient2d(p1, p2, q1)
+    d4 = _orient2d(p1, p2, q2)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+        return True
+    if d1 == 0 and _on_segment(q1, q2, p1):
+        return True
+    if d2 == 0 and _on_segment(q1, q2, p2):
+        return True
+    if d3 == 0 and _on_segment(p1, p2, q1):
+        return True
+    if d4 == 0 and _on_segment(p1, p2, q2):
+        return True
+    return False
+
+
+def _collinear_overlap(p1, p2, q1, q2):
+    """True if two segments are collinear and overlap in more than a point."""
+    if _orient2d(p1, p2, q1) != 0 or _orient2d(p1, p2, q2) != 0:
+        return False
+    # Project onto the dominant axis and test interval overlap length.
+    axis = 0 if abs(p2[0] - p1[0]) >= abs(p2[1] - p1[1]) else 1
+    a0, a1 = sorted((p1[axis], p2[axis]))
+    b0, b1 = sorted((q1[axis], q2[axis]))
+    return min(a1, b1) - max(a0, b0) > 0
+
+
+def point_in_ring(point, ring):
+    """Even-odd point-in-ring test. Points on the boundary count as inside."""
+    x, y = point
+    n = len(ring)
+    inside = False
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        # Boundary check.
+        if _orient2d((x1, y1), (x2, y2), (x, y)) == 0 and _on_segment((x1, y1), (x2, y2), (x, y)):
+            return True
+        if (y1 > y) != (y2 > y):
+            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < xint:
+                inside = not inside
+    return inside
+
+
+class Geometry:
+    """Base class for planar geometries."""
+
+    geom_type = None
+
+    @property
+    def is_empty(self):
+        raise NotImplementedError
+
+
+class LineString(Geometry):
+    geom_type = "LineString"
+
+    def __init__(self, coords):
+        self.coords = np.asarray(coords, dtype=np.float64)
+
+    @property
+    def is_empty(self):
+        return len(self.coords) < 2
+
+    @property
+    def is_valid(self):
+        return len(self.coords) >= 2
+
+    @property
+    def bounds(self):
+        c = self.coords
+        return (float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max()))
+
+    def __geo_interface__(self):
+        return {"type": "LineString", "coordinates": [[float(x), float(y)] for x, y in self.coords]}
+
+
+class Polygon(Geometry):
+    """A polygon with one exterior shell and zero or more holes."""
+
+    geom_type = "Polygon"
+
+    def __init__(self, shell, holes=()):
+        self.shell = as_ring(shell)
+        self.holes = [as_ring(h) for h in holes]
+
+    @property
+    def is_empty(self):
+        return len(self.shell) < 3
+
+    @property
+    def rings(self):
+        return [self.shell] + self.holes
+
+    @property
+    def area(self):
+        return abs(ring_area(self.shell)) - sum(abs(ring_area(h)) for h in self.holes)
+
+    @property
+    def bounds(self):
+        s = self.shell
+        return (float(s[:, 0].min()), float(s[:, 1].min()), float(s[:, 0].max()), float(s[:, 1].max()))
+
+    @property
+    def is_valid(self):
+        """Basic validity: simple rings, >= 3 vertices, holes inside shell.
+
+        A pragmatic subset of the OGC rules; catches the cases the pipeline
+        filters on (self-intersecting OSM ways and degenerate simplified
+        contours; reference call sites robosat/osm/parking.py:36-39,
+        robosat/features/parking.py:94-100).
+        """
+        if len(self.shell) < 3 or ring_area(self.shell) == 0:
+            return False
+        if not ring_is_simple(self.shell):
+            return False
+        for hole in self.holes:
+            if len(hole) < 3 or not ring_is_simple(hole):
+                return False
+            if not all(point_in_ring(p, self.shell) for p in hole):
+                return False
+        return True
+
+    def contains_point(self, point):
+        if not point_in_ring(point, self.shell):
+            return False
+        for hole in self.holes:
+            if point_in_ring(point, hole) and not _point_on_ring_boundary(point, hole):
+                return False
+        return True
+
+    def __geo_interface__(self):
+        rings = []
+        for ring in self.rings:
+            closed = [[float(x), float(y)] for x, y in ring]
+            closed.append(closed[0])
+            rings.append(closed)
+        return {"type": "Polygon", "coordinates": rings}
+
+
+class MultiPolygon(Geometry):
+    geom_type = "MultiPolygon"
+
+    def __init__(self, polygons):
+        self.geoms = [p for p in polygons if not p.is_empty]
+
+    @property
+    def is_empty(self):
+        return not self.geoms
+
+    @property
+    def area(self):
+        return sum(p.area for p in self.geoms)
+
+    @property
+    def bounds(self):
+        bs = [p.bounds for p in self.geoms]
+        return (
+            min(b[0] for b in bs),
+            min(b[1] for b in bs),
+            max(b[2] for b in bs),
+            max(b[3] for b in bs),
+        )
+
+    @property
+    def is_valid(self):
+        return all(p.is_valid for p in self.geoms)
+
+    def contains_point(self, point):
+        return any(p.contains_point(point) for p in self.geoms)
+
+    def __geo_interface__(self):
+        return {"type": "MultiPolygon", "coordinates": [p.__geo_interface__()["coordinates"] for p in self.geoms]}
+
+
+def _point_on_ring_boundary(point, ring):
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        if _orient2d(a, b, point) == 0 and _on_segment(a, b, point):
+            return True
+    return False
+
+
+def shape(mapping):
+    """Build a Geometry from a GeoJSON geometry mapping."""
+    gtype = mapping["type"]
+    coords = mapping["coordinates"]
+    if gtype == "Polygon":
+        if not coords:
+            return Polygon(np.zeros((0, 2)))
+        return Polygon(coords[0], coords[1:])
+    if gtype == "MultiPolygon":
+        return MultiPolygon([Polygon(c[0], c[1:]) for c in coords if c])
+    if gtype == "LineString":
+        return LineString(coords)
+    if gtype == "Point":
+        return PointGeom(coords)
+    raise ValueError("unsupported geometry type: {}".format(gtype))
+
+
+class PointGeom(Geometry):
+    geom_type = "Point"
+
+    def __init__(self, coords):
+        self.coords = (float(coords[0]), float(coords[1]))
+
+    @property
+    def is_empty(self):
+        return False
+
+    @property
+    def bounds(self):
+        x, y = self.coords
+        return (x, y, x, y)
+
+    def __geo_interface__(self):
+        return {"type": "Point", "coordinates": [self.coords[0], self.coords[1]]}
+
+
+def mapping(geom):
+    """GeoJSON geometry mapping for a Geometry."""
+    return geom.__geo_interface__()
+
+
+def transform_geometry(fn, geom):
+    """Apply `fn(xs, ys) -> (xs', ys')` to every coordinate of a geometry."""
+    if isinstance(geom, Polygon):
+        def tx(ring):
+            if len(ring) == 0:
+                return ring
+            xs, ys = fn(ring[:, 0], ring[:, 1])
+            return np.stack([np.asarray(xs), np.asarray(ys)], axis=1)
+
+        return Polygon(tx(geom.shell), [tx(h) for h in geom.holes])
+    if isinstance(geom, MultiPolygon):
+        return MultiPolygon([transform_geometry(fn, p) for p in geom.geoms])
+    if isinstance(geom, LineString):
+        xs, ys = fn(geom.coords[:, 0], geom.coords[:, 1])
+        return LineString(np.stack([np.asarray(xs), np.asarray(ys)], axis=1))
+    if isinstance(geom, PointGeom):
+        xs, ys = fn(np.array([geom.coords[0]]), np.array([geom.coords[1]]))
+        return PointGeom((float(np.asarray(xs)[0]), float(np.asarray(ys)[0])))
+    raise ValueError("unsupported geometry: {}".format(type(geom)))
+
+
+def orient_polygon(poly, sign=1.0):
+    """Return the polygon with exterior ring oriented CCW (sign=1) or CW
+    (sign=-1) and holes oriented opposite. Parity:
+    shapely.geometry.polygon.orient used in robosat/tools/merge.py:68-73."""
+    def oriented(ring, want_ccw):
+        is_ccw = ring_area(ring) > 0
+        return ring if is_ccw == want_ccw else ring[::-1]
+
+    want_ccw = sign > 0
+    return Polygon(oriented(poly.shell, want_ccw), [oriented(h, not want_ccw) for h in poly.holes])
+
+
+def bounds_intersect(a, b):
+    """True if two (minx, miny, maxx, maxy) boxes overlap (closed)."""
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def geometries_intersect(a, b):
+    """True if two polygonal geometries share any point.
+
+    Tests boundary segment intersection and mutual containment; used by the
+    merge/dedupe graph construction (robosat/tools/merge.py:54-56,
+    robosat/tools/dedupe.py:58).
+    """
+    if not bounds_intersect(a.bounds, b.bounds):
+        return False
+
+    a_polys = a.geoms if isinstance(a, MultiPolygon) else [a]
+    b_polys = b.geoms if isinstance(b, MultiPolygon) else [b]
+
+    for pa in a_polys:
+        for pb in b_polys:
+            if not bounds_intersect(pa.bounds, pb.bounds):
+                continue
+            # Containment (either direction).
+            if pb.contains_point(tuple(pa.shell[0])) or pa.contains_point(tuple(pb.shell[0])):
+                return True
+            # Boundary crossing.
+            for ra in pa.rings:
+                na = len(ra)
+                for rb in pb.rings:
+                    nb = len(rb)
+                    for i in range(na):
+                        p1, p2 = ra[i], ra[(i + 1) % na]
+                        for j in range(nb):
+                            if segments_intersect(p1, p2, rb[j], rb[(j + 1) % nb]):
+                                return True
+    return False
+
+
+def representative_point(ring):
+    """A point strictly inside a simple ring (scanline midpoint heuristic)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    ys = ring[:, 1]
+    # Probe a few horizontal lines to dodge vertex-aligned degeneracies.
+    ymin, ymax = float(ys.min()), float(ys.max())
+    for frac in (0.5, 0.37, 0.63, 0.29, 0.71):
+        y = ymin + (ymax - ymin) * frac
+        xs = []
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xs.append(x1 + (y - y1) * (x2 - x1) / (y2 - y1))
+        xs.sort()
+        if len(xs) >= 2:
+            return ((xs[0] + xs[1]) / 2.0, y)
+    # Fallback: centroid of the first non-degenerate vertex triangle.
+    return (float(ring[:, 0].mean()), float(ring[:, 1].mean()))

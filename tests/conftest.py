@@ -1,0 +1,66 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Mirrors the reference's CPU-only CI (reference .travis.yml:26-37) while also
+exercising multi-chip sharding without TPU hardware, per SURVEY.md section 4.
+Must run before anything imports jax.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+from PIL import Image  # noqa: E402
+
+from robosat_tpu.colors import make_palette  # noqa: E402
+
+
+def _deterministic_image(seed, size=512):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+
+
+def _blob_mask(seed, size=512):
+    """A synthetic binary label mask with a few rectangular blobs."""
+    rng = np.random.default_rng(seed)
+    mask = np.zeros((size, size), dtype=np.uint8)
+    for _ in range(3):
+        x0, y0 = rng.integers(0, size - 64, size=2)
+        w, h = rng.integers(48, 160, size=2)
+        mask[y0 : y0 + h, x0 : x0 + w] = 1
+    return mask
+
+
+# Tile ids used by the synthetic fixtures (z/x/y).
+FIXTURE_TILES = [(18, 69623, 104945), (18, 69623, 104946), (18, 69624, 104945)]
+
+
+@pytest.fixture(scope="session")
+def slippy_fixtures(tmp_path_factory):
+    """A synthetic slippy-map dataset: images/, labels/, tiles.csv.
+
+    Generated (not copied from the reference) so tests pin the directory
+    walking, palette, and alignment contracts without binary fixtures.
+    """
+    root = tmp_path_factory.mktemp("slippy")
+    images = root / "images"
+    labels = root / "labels"
+
+    for i, (z, x, y) in enumerate(FIXTURE_TILES):
+        img_dir = images / str(z) / str(x)
+        img_dir.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(_deterministic_image(i)).save(img_dir / "{}.png".format(y))
+
+        lbl_dir = labels / str(z) / str(x)
+        lbl_dir.mkdir(parents=True, exist_ok=True)
+        mask = Image.fromarray(_blob_mask(i), mode="P")
+        mask.putpalette(make_palette("denim", "orange"))
+        mask.save(lbl_dir / "{}.png".format(y))
+
+    csv_path = root / "tiles.csv"
+    csv_path.write_text("".join("{},{},{}\n".format(x, y, z) for z, x, y in FIXTURE_TILES))
+    return root

@@ -1,0 +1,199 @@
+"""Geometry engine tests: predicates, boolean ops (vs a raster oracle), buffer."""
+
+import numpy as np
+import pytest
+
+from robosat_tpu.geo import clip
+from robosat_tpu.geo.buffer import buffer_geometry
+from robosat_tpu.geo.geometry import (
+    LineString,
+    MultiPolygon,
+    Polygon,
+    geometries_intersect,
+    orient_polygon,
+    point_in_ring,
+    ring_area,
+    shape,
+)
+
+
+def square(x0, y0, side):
+    return Polygon([(x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side)])
+
+
+def test_ring_area_orientation():
+    ccw = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    assert ring_area(np.array(ccw, dtype=float)) == pytest.approx(1.0)
+    assert ring_area(np.array(ccw[::-1], dtype=float)) == pytest.approx(-1.0)
+
+
+def test_polygon_area_with_hole():
+    p = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)], holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]])
+    assert p.area == pytest.approx(100 - 4)
+
+
+def test_validity():
+    assert square(0, 0, 1).is_valid
+    bowtie = Polygon([(0, 0), (2, 2), (2, 0), (0, 2)])
+    assert not bowtie.is_valid
+    degenerate = Polygon([(0, 0), (1, 1), (2, 2)])
+    assert not degenerate.is_valid
+
+
+def test_point_in_ring():
+    ring = np.array([(0, 0), (4, 0), (4, 4), (0, 4)], dtype=float)
+    assert point_in_ring((2, 2), ring)
+    assert point_in_ring((0, 2), ring)  # boundary counts as inside
+    assert not point_in_ring((5, 2), ring)
+
+
+def test_orient():
+    cw = Polygon([(0, 0), (0, 1), (1, 1), (1, 0)])
+    assert ring_area(cw.shell) < 0
+    assert ring_area(orient_polygon(cw, 1.0).shell) > 0
+    assert ring_area(orient_polygon(cw, -1.0).shell) < 0
+
+
+def test_intersects():
+    a = square(0, 0, 2)
+    b = square(1, 1, 2)
+    c = square(5, 5, 1)
+    inside = square(0.5, 0.5, 0.5)
+    assert geometries_intersect(a, b)
+    assert not geometries_intersect(a, c)
+    assert geometries_intersect(a, inside)  # containment counts
+
+
+def test_union_disjoint_and_overlap():
+    a, b = square(0, 0, 2), square(1, 1, 2)
+    u = clip.union(a, b)
+    assert u.area == pytest.approx(4 + 4 - 1)
+    inter = clip.intersection(a, b)
+    assert inter.area == pytest.approx(1.0)
+    diff = clip.difference(a, b)
+    assert diff.area == pytest.approx(3.0)
+
+    far = square(10, 10, 1)
+    u2 = clip.union(a, far)
+    assert len(u2.geoms) == 2
+    assert u2.area == pytest.approx(5.0)
+
+
+def test_union_touching_corner():
+    a, b = square(0, 0, 1), square(1, 1, 1)
+    u = clip.union(a, b)
+    assert u.area == pytest.approx(2.0)
+
+
+def test_union_creates_hole():
+    # Four rectangles forming a frame; their union has a hole.
+    top = Polygon([(0, 3), (4, 3), (4, 4), (0, 4)])
+    bottom = Polygon([(0, 0), (4, 0), (4, 1), (0, 1)])
+    left = Polygon([(0, 0), (1, 0), (1, 4), (0, 4)])
+    right = Polygon([(3, 0), (4, 0), (4, 4), (3, 4)])
+    u = clip.union_all([top, bottom, left, right])
+    assert u.area == pytest.approx(16 - 4)
+    assert len(u.geoms) == 1
+    assert len(u.geoms[0].holes) == 1
+
+
+def test_overlay_area_matches_geometry_area():
+    a, b = square(0, 0, 3), square(1, 1, 3)
+    assert clip.overlay_area(a, b, "union") == pytest.approx(clip.union(a, b).area)
+    assert clip.overlay_area(a, b, "intersection") == pytest.approx(clip.intersection(a, b).area)
+
+
+def _raster_oracle(geom, lo, hi, n=96):
+    """Boolean occupancy grid of a geometry by point-in-polygon sampling."""
+    xs = np.linspace(lo, hi, n, endpoint=False) + (hi - lo) / (2 * n)
+    grid = np.zeros((n, n), dtype=bool)
+    polys = geom.geoms if isinstance(geom, MultiPolygon) else [geom]
+    for j, y in enumerate(xs):
+        for i, x in enumerate(xs):
+            for p in polys:
+                if p.contains_point((x, y)):
+                    grid[j, i] = True
+                    break
+    return grid
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("op", ["union", "intersection", "difference"])
+def test_boolean_vs_raster_oracle(seed, op):
+    """Randomized star-polygons; overlay result must match a sampled oracle."""
+    rng = np.random.default_rng(seed)
+
+    def star(cx, cy, rmin, rmax, n):
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+        radii = rng.uniform(rmin, rmax, n)
+        return Polygon(np.stack([cx + radii * np.cos(angles), cy + radii * np.sin(angles)], axis=1))
+
+    a = star(4.5, 5.0, 1.5, 4.0, 9)
+    b = star(5.5, 5.0, 1.5, 4.0, 7)
+
+    result = clip.boolean_op(a, b, op)
+
+    ga = _raster_oracle(a, 0, 10)
+    gb = _raster_oracle(b, 0, 10)
+    expected = {"union": ga | gb, "intersection": ga & gb, "difference": ga & ~gb}[op]
+    got = _raster_oracle(result, 0, 10)
+
+    # Sampled grids differ only near boundaries; demand < 3% disagreement.
+    mismatch = np.mean(expected != got)
+    assert mismatch < 0.03, "op={} seed={} mismatch={:.4f}".format(op, seed, mismatch)
+
+    # Exact-area path agrees with the sampled area within sampling error.
+    area = clip.overlay_area(a, b, op)
+    cell = (10 / 96) ** 2
+    assert area == pytest.approx(expected.sum() * cell, abs=0.9)
+
+
+def test_buffer_square_grows_area():
+    sq = square(0, 0, 2)
+    grown = buffer_geometry(sq, 0.5)
+    # Area = 4 + perimeter*r + pi*r^2 (exact for convex); polygonal disc is
+    # slightly smaller than the true circle.
+    expected = 4 + 8 * 0.5 + np.pi * 0.25
+    assert grown.area == pytest.approx(expected, rel=0.01)
+
+
+def test_negative_buffer_shrinks_square():
+    sq = square(0, 0, 4)
+    shrunk = buffer_geometry(sq, -1.0)
+    assert shrunk.area == pytest.approx(4.0, rel=0.02)
+    # Fully eroded away.
+    gone = buffer_geometry(sq, -2.5)
+    assert gone.area == pytest.approx(0.0, abs=1e-6)
+
+
+def test_buffer_then_unbuffer_merges_close_squares():
+    # Two squares 1 apart: buffer(+1), union, buffer(-1) bridges the gap
+    # (the merge tool's core semantic, robosat/tools/merge.py:35-65).
+    a, b = square(0, 0, 2), square(3, 0, 2)
+    grown = clip.union(buffer_geometry(a, 1.0), buffer_geometry(b, 1.0))
+    assert len(grown.geoms) == 1
+    merged = buffer_geometry(grown, -1.0)
+    assert len(merged.geoms) == 1
+    assert merged.area > 8.0  # more than the two inputs: gap was bridged
+
+
+def test_linestring_buffer():
+    line = LineString([(0, 0), (10, 0)])
+    buf = buffer_geometry(line, 1.0)
+    expected = 20 + np.pi  # rect + two half-discs
+    assert buf.area == pytest.approx(expected, rel=0.01)
+
+
+def test_shape_mapping_roundtrip():
+    poly = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+            [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]],
+        ],
+    }
+    g = shape(poly)
+    assert g.area == pytest.approx(15.0)
+    m = g.__geo_interface__()
+    assert m["type"] == "Polygon"
+    assert m["coordinates"][0][0] == m["coordinates"][0][-1]
