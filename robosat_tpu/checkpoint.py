@@ -1,0 +1,113 @@
+"""Checkpointing: pytree <-> single-file .npz archives, plus a torch converter.
+
+Replaces the reference's torch.save/torch.load checkpoints
+(robosat/tools/train.py:156-160, predict.py:60) with a self-describing numpy
+archive: every leaf is stored under its flattened pytree path, and a `__meta__`
+JSON blob carries epoch and structural info. Loading restores the exact nested
+dict/list structure.
+
+Also provides a converter from torchvision resnet50 state_dicts into this
+framework's encoder layout (OIHW -> HWIO transpose), for running with
+ImageNet-pretrained weights when a .pth file is supplied.
+"""
+
+import json
+
+import numpy as np
+
+_META_KEY = "__meta__"
+
+
+def _flatten(tree, prefix, out):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            _flatten(tree[k], prefix + (str(k),), out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten(v, prefix + ("#{}".format(i),), out)
+    else:
+        out["/".join(prefix)] = np.asarray(tree)
+
+
+def _unflatten(flat):
+    root = {}
+    for path, value in flat.items():
+        parts = path.split("/")
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.startswith("#") for k in node):
+            return [listify(node["#{}".format(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_checkpoint(path, trees, meta=None):
+    """Save named pytrees (e.g. {"params": ..., "opt_state": ...}) to `path`."""
+    flat = {}
+    for name, tree in trees.items():
+        _flatten(tree, (name,), flat)
+    flat[_META_KEY] = np.frombuffer(json.dumps(meta or {}).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path):
+    """Load a checkpoint; returns (trees dict, meta dict)."""
+    with np.load(path) as archive:
+        flat = {k: archive[k] for k in archive.files if k != _META_KEY}
+        meta = json.loads(archive[_META_KEY].tobytes().decode()) if _META_KEY in archive.files else {}
+    tree = _unflatten(flat)
+    return tree, meta
+
+
+def convert_torch_resnet50(state_dict):
+    """Convert a torchvision resnet50 state_dict into this encoder's pytree.
+
+    Handles the key layout of torchvision.models.resnet50 (the reference
+    encoder, robosat/unet.py:94): conv weights transpose OIHW -> HWIO; batch
+    norm weight/bias -> scale/bias params and running_mean/var -> state.
+    Accepts tensors or numpy arrays as values. Returns (params, state) for
+    robosat_tpu.models.resnet.
+    """
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        return v.astype(np.float32)
+
+    def conv(key):
+        return {"w": np.transpose(arr(key + ".weight"), (2, 3, 1, 0))}
+
+    def bn(key):
+        params = {"scale": arr(key + ".weight"), "bias": arr(key + ".bias")}
+        state = {"mean": arr(key + ".running_mean"), "var": arr(key + ".running_var")}
+        return params, state
+
+    params, state = {}, {}
+    params["conv1"] = conv("conv1")
+    params["bn1"], state["bn1"] = bn("bn1")
+
+    blocks_per_stage = (3, 4, 6, 3)
+    for si, blocks in enumerate(blocks_per_stage):
+        stage_p, stage_s = [], []
+        for bi in range(blocks):
+            base = "layer{}.{}".format(si + 1, bi)
+            bp, bs = {}, {}
+            for ci in (1, 2, 3):
+                bp["conv{}".format(ci)] = conv("{}.conv{}".format(base, ci))
+                bp["bn{}".format(ci)], bs["bn{}".format(ci)] = bn("{}.bn{}".format(base, ci))
+            if "{}.downsample.0.weight".format(base) in state_dict:
+                bp["down_conv"] = conv("{}.downsample.0".format(base))
+                bp["down_bn"], bs["down_bn"] = bn("{}.downsample.1".format(base))
+            stage_p.append(bp)
+            stage_s.append(bs)
+        params["layer{}".format(si + 1)] = stage_p
+        state["layer{}".format(si + 1)] = stage_s
+
+    return params, state

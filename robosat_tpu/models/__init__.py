@@ -1,0 +1,1 @@
+from robosat_tpu.models.registry import get_model, register_model  # noqa: F401

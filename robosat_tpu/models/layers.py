@@ -1,0 +1,112 @@
+"""Functional neural-net building blocks for TPU (NHWC, pytree params).
+
+The compute path is plain JAX traced under jit/pjit: convolutions lower onto
+the MXU via lax.conv_general_dilated, batch norm and activations fuse into the
+surrounding convs under XLA. Parameters and batch-norm running statistics are
+nested dicts of arrays (pytrees) so sharding/checkpointing stay trivial.
+
+Layout: NHWC activations, HWIO conv kernels — the TPU-native layout (channels
+in the minormost, 128-lane dimension).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# NHWC activations / HWIO weights everywhere.
+CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def init_rng(seed_or_key):
+    """A host-side numpy Generator from an int seed or a jax PRNGKey.
+
+    Parameter init runs once on the host; numpy avoids dispatching hundreds
+    of tiny XLA programs (one per layer) during model construction.
+    """
+    if isinstance(seed_or_key, np.random.Generator):
+        return seed_or_key
+    seed = np.asarray(seed_or_key).ravel()
+    return np.random.default_rng([int(s) for s in seed])
+
+
+def he_normal(rng, shape, fan_out=True):
+    """Kaiming/He normal init (fan_out mode, like torchvision's ResNet)."""
+    kh, kw, cin, cout = shape
+    fan = kh * kw * (cout if fan_out else cin)
+    std = np.sqrt(2.0 / fan)
+    return (std * rng.standard_normal(shape)).astype(np.float32)
+
+
+def conv_init(rng, kh, kw, cin, cout):
+    return {"w": he_normal(rng, (kh, kw, cin, cout))}
+
+
+def conv_apply(params, x, stride=1, padding="SAME"):
+    w = params["w"].astype(x.dtype)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=CONV_DIMS,
+    )
+
+
+def bn_init(channels):
+    params = {
+        "scale": np.ones((channels,), np.float32),
+        "bias": np.zeros((channels,), np.float32),
+    }
+    state = {
+        "mean": np.zeros((channels,), np.float32),
+        "var": np.ones((channels,), np.float32),
+    }
+    return params, state
+
+
+def bn_apply(params, state, x, train, momentum=0.1, eps=1e-5):
+    """Batch normalization over (N, H, W) with running statistics.
+
+    In training mode the statistics are computed over the *global* batch: when
+    the batch axis is sharded over a mesh under pjit, the mean/var reductions
+    compile to cross-replica collectives automatically, i.e. sync-BN for free
+    (the reference's DataParallel computes per-replica stats instead; see
+    SURVEY.md section 7 "BatchNorm under data parallelism").
+    """
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * var,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+
+    inv = lax.rsqrt(var + eps) * params["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+    return y.astype(x.dtype), new_state
+
+
+def max_pool(x, window, stride, padding):
+    """Max pooling; `padding` is an int applied symmetrically to H and W."""
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pads,
+    )
+
+
+def upsample_nearest_2x(x):
+    """Nearest-neighbor 2x upsampling (the reference decoder's interpolate,
+    robosat/unet.py:73)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)

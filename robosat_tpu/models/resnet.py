@@ -1,0 +1,108 @@
+"""From-scratch ResNet-50 encoder (bottleneck blocks) in functional JAX.
+
+Mirrors the torchvision resnet50 the reference uses as its U-Net encoder
+(robosat/unet.py:94, reference stem/layers walked in robosat/unet.py:122-130)
+but is written NHWC/TPU-first: convs lower onto the MXU, BN+ReLU fuse under
+XLA. Only the feature-extractor part exists — no classification head, since
+the U-Net consumes the four stage outputs as skip connections.
+
+ImageNet-pretrained weights are not bundled (no network egress); weights
+convert from a torch state_dict via robosat_tpu.checkpoint.convert_torch_resnet50
+when available.
+"""
+
+import jax
+
+from robosat_tpu.models.layers import bn_apply, bn_init, conv_apply, conv_init, init_rng, max_pool
+
+# (blocks, mid_channels) per stage; expansion 4 => stage outputs 256/512/1024/2048.
+RESNET50_STAGES = ((3, 64), (4, 128), (6, 256), (3, 512))
+EXPANSION = 4
+
+
+def _bottleneck_init(rng, cin, mid, stride):
+    cout = mid * EXPANSION
+    params = {}
+    state = {}
+    params["conv1"] = conv_init(rng, 1, 1, cin, mid)
+    params["bn1"], state["bn1"] = bn_init(mid)
+    params["conv2"] = conv_init(rng, 3, 3, mid, mid)
+    params["bn2"], state["bn2"] = bn_init(mid)
+    params["conv3"] = conv_init(rng, 1, 1, mid, cout)
+    params["bn3"], state["bn3"] = bn_init(cout)
+    if stride != 1 or cin != cout:
+        params["down_conv"] = conv_init(rng, 1, 1, cin, cout)
+        params["down_bn"], state["down_bn"] = bn_init(cout)
+    return params, state
+
+
+def _bottleneck_apply(params, state, x, stride, train):
+    new_state = {}
+    out = conv_apply(params["conv1"], x, stride=1)
+    out, new_state["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train)
+    out = jax.nn.relu(out)
+    out = conv_apply(params["conv2"], out, stride=stride)
+    out, new_state["bn2"] = bn_apply(params["bn2"], state["bn2"], out, train)
+    out = jax.nn.relu(out)
+    out = conv_apply(params["conv3"], out, stride=1)
+    out, new_state["bn3"] = bn_apply(params["bn3"], state["bn3"], out, train)
+
+    if "down_conv" in params:
+        shortcut = conv_apply(params["down_conv"], x, stride=stride)
+        shortcut, new_state["down_bn"] = bn_apply(params["down_bn"], state["down_bn"], shortcut, train)
+    else:
+        shortcut = x
+
+    return jax.nn.relu(out + shortcut), new_state
+
+
+def init(rng, in_channels=3):
+    """Initialize ResNet-50 encoder params and BN state.
+
+    `rng` is an int seed, jax PRNGKey, or numpy Generator (host-side init).
+    """
+    rng = init_rng(rng)
+    params, state = {}, {}
+
+    params["conv1"] = conv_init(rng, 7, 7, in_channels, 64)
+    params["bn1"], state["bn1"] = bn_init(64)
+
+    cin = 64
+    for si, (blocks, mid) in enumerate(RESNET50_STAGES):
+        stage_p, stage_s = [], []
+        for bi in range(blocks):
+            stride = 2 if (bi == 0 and si > 0) else 1
+            bp, bs = _bottleneck_init(rng, cin, mid, stride)
+            stage_p.append(bp)
+            stage_s.append(bs)
+            cin = mid * EXPANSION
+        params["layer{}".format(si + 1)] = stage_p
+        state["layer{}".format(si + 1)] = stage_s
+
+    return params, state
+
+
+def apply(params, state, x, train=False):
+    """Run the encoder; returns ((enc1, enc2, enc3, enc4), new_state).
+
+    enc1..enc4 are the four stage outputs (256/512/1024/2048 channels at
+    1/4..1/32 resolution) consumed as U-Net skips (robosat/unet.py:127-130).
+    """
+    new_state = {}
+    out = conv_apply(params["conv1"], x, stride=2, padding=((3, 3), (3, 3)))
+    out, new_state["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train)
+    out = jax.nn.relu(out)
+    out = max_pool(out, window=3, stride=2, padding=1)
+
+    skips = []
+    for si, (blocks, _) in enumerate(RESNET50_STAGES):
+        name = "layer{}".format(si + 1)
+        stage_state = []
+        for bi in range(blocks):
+            stride = 2 if (bi == 0 and si > 0) else 1
+            out, bs = _bottleneck_apply(params[name][bi], state[name][bi], out, stride, train)
+            stage_state.append(bs)
+        new_state[name] = stage_state
+        skips.append(out)
+
+    return tuple(skips), new_state

@@ -1,0 +1,84 @@
+"""U-Net with a ResNet-50 encoder ("AlbuNet"), functional JAX, NHWC.
+
+Channel math matches the reference exactly (robosat/unet.py:99-141):
+center DecoderBlock(2048->256) on an extra 2x2-maxpooled enc4, then
+dec0(2048+256->256), dec1(1024+256->256), dec2(512+256->64),
+dec3(256+64->128), dec4(128->32), dec5=ConvRelu(32->32), final 1x1 conv to
+`num_classes`. Decoder blocks are nearest-2x upsample + 3x3 conv (no bias) +
+ReLU, with no batch norm (robosat/unet.py:18-73).
+
+TPU-first choices: NHWC layout, channel-axis concat lands in the 128-lane
+dimension, optional bfloat16 activations (params stay fp32), everything traced
+once under jit — the upsample+conv+concat chain fuses under XLA.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robosat_tpu.models import resnet
+from robosat_tpu.models.layers import conv_apply, conv_init, init_rng, max_pool, upsample_nearest_2x
+
+NUM_FILTERS = 32
+
+
+def _convrelu_init(rng, cin, cout):
+    return conv_init(rng, 3, 3, cin, cout)
+
+
+def _convrelu_apply(params, x):
+    return jax.nn.relu(conv_apply(params, x, stride=1))
+
+
+def _decoder_apply(params, x):
+    return _convrelu_apply(params, upsample_nearest_2x(x))
+
+
+def init(rng, num_classes, num_filters=NUM_FILTERS, in_channels=3):
+    """Initialize U-Net params and state. Returns (params, state).
+
+    `rng` is an int seed, jax PRNGKey, or numpy Generator (host-side init).
+    """
+    rng = init_rng(rng)
+    enc_params, enc_state = resnet.init(rng, in_channels=in_channels)
+
+    nf = num_filters
+    params = {
+        "encoder": enc_params,
+        "center": _convrelu_init(rng, 2048, nf * 8),
+        "dec0": _convrelu_init(rng, 2048 + nf * 8, nf * 8),
+        "dec1": _convrelu_init(rng, 1024 + nf * 8, nf * 8),
+        "dec2": _convrelu_init(rng, 512 + nf * 8, nf * 2),
+        "dec3": _convrelu_init(rng, 256 + nf * 2, nf * 2 * 2),
+        "dec4": _convrelu_init(rng, nf * 2 * 2, nf),
+        "dec5": _convrelu_init(rng, nf, nf),
+        "final": {
+            "w": conv_init(rng, 1, 1, nf, num_classes)["w"],
+            "b": np.zeros((num_classes,), np.float32),
+        },
+    }
+    state = {"encoder": enc_state}
+    return params, state
+
+
+def apply(params, state, x, train=False):
+    """Forward pass. x: NHWC float (normalized). Returns (logits, new_state).
+
+    Requires H and W divisible by 32 (robosat/unet.py:120).
+    """
+    n, h, w, c = x.shape
+    assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
+
+    (enc1, enc2, enc3, enc4), enc_state = resnet.apply(params["encoder"], state["encoder"], x, train)
+
+    center = _decoder_apply(params["center"], max_pool(enc4, window=2, stride=2, padding=0))
+
+    dec0 = _decoder_apply(params["dec0"], jnp.concatenate([enc4, center], axis=-1))
+    dec1 = _decoder_apply(params["dec1"], jnp.concatenate([enc3, dec0], axis=-1))
+    dec2 = _decoder_apply(params["dec2"], jnp.concatenate([enc2, dec1], axis=-1))
+    dec3 = _decoder_apply(params["dec3"], jnp.concatenate([enc1, dec2], axis=-1))
+    dec4 = _decoder_apply(params["dec4"], dec3)
+    dec5 = _convrelu_apply(params["dec5"], dec4)
+
+    logits = conv_apply({"w": params["final"]["w"]}, dec5, stride=1) + params["final"]["b"].astype(dec5.dtype)
+    return logits, {"encoder": enc_state}
