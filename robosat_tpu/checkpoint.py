@@ -66,6 +66,80 @@ def load_checkpoint(path):
     return tree, meta
 
 
+def opt_state_to_leaves(opt_state):
+    """Optimizer state (optax namedtuple pytree) -> flat list of leaves.
+
+    npz archives store dicts/lists; optax states are namedtuple trees, so
+    they are saved as their leaf list and rebuilt against a freshly
+    initialized state's structure on load.
+    """
+    import jax
+
+    return [np.asarray(leaf) for leaf in jax.tree_util.tree_leaves(opt_state)]
+
+
+def leaves_to_opt_state(template, leaves):
+    """Rebuild an optimizer state from leaves using `template`'s structure."""
+    import jax
+
+    structure = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(structure, leaves)
+
+
+def convert_torch_unet(state_dict, num_classes=2):
+    """Convert a reference robosat UNet checkpoint state_dict to our pytree.
+
+    Reference checkpoints carry DataParallel "module." key prefixes
+    (robosat/tools/train.py:156-160) and the layout of robosat/unet.py:
+    resnet.* encoder, center/dec0..dec4 DecoderBlocks (x.block.block = conv),
+    dec5 ConvRelu (x.block = conv), final 1x1 conv with bias. Returns
+    (params, state) for robosat_tpu.models.unet — enables bit-level parity
+    testing against PyTorch-trained models.
+    """
+    sd = {}
+    for key, value in state_dict.items():
+        sd[key[len("module.") :] if key.startswith("module.") else key] = value
+
+    def arr(key):
+        v = sd[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        return v.astype(np.float32)
+
+    def conv_w(key):
+        return {"w": np.transpose(arr(key), (2, 3, 1, 0))}
+
+    enc_sd = {k[len("resnet.") :]: v for k, v in sd.items() if k.startswith("resnet.")}
+    enc_params, enc_state = convert_torch_resnet50(enc_sd)
+
+    params = {"encoder": enc_params}
+    params["center"] = conv_w("center.block.block.weight")
+    for i in range(5):
+        params["dec{}".format(i)] = conv_w("dec{}.block.block.weight".format(i))
+    params["dec5"] = conv_w("dec5.block.weight")
+    params["final"] = {
+        "w": np.transpose(arr("final.weight"), (2, 3, 1, 0)),
+        "b": arr("final.bias"),
+    }
+    return params, {"encoder": enc_state}
+
+
+def load_model_checkpoint(path, num_classes=2):
+    """Load a model checkpoint: native .npz or a reference torch .pth.
+
+    Returns (params, state, meta).
+    """
+    if path.endswith(".pth") or path.endswith(".pt"):
+        import torch
+
+        chkpt = torch.load(path, map_location="cpu", weights_only=True)
+        state_dict = chkpt.get("state_dict", chkpt)
+        params, state = convert_torch_unet(state_dict, num_classes)
+        return params, state, {"epoch": int(chkpt.get("epoch", 0))}
+
+    trees, meta = load_checkpoint(path)
+    return trees["params"], trees["state"], meta
+
+
 def convert_torch_resnet50(state_dict):
     """Convert a torchvision resnet50 state_dict into this encoder's pytree.
 

@@ -1,0 +1,95 @@
+"""Slippy-map datasets, numpy-first.
+
+Same dataset contracts as the reference (robosat/datasets.py:16-136) with
+images/masks as numpy arrays: the host does decode + optional resize/crop
+only, and augmentation/normalization run on-device inside the jitted step
+(robosat_tpu.ops.augment). Indexable + length, so they plug into the threaded
+prefetch loader (robosat_tpu.data.loader).
+"""
+
+import numpy as np
+from PIL import Image
+
+from robosat_tpu.tiles import buffer_tile_image, tiles_from_slippy_map
+
+
+class SlippyMapTiles:
+    """Tiles from one slippy-map directory, sorted by (x, y, z) like the
+    reference's tile sort (robosat/datasets.py:27)."""
+
+    def __init__(self, root, mode="RGB", size=None):
+        self.mode = mode
+        self.size = size
+        self.tiles = sorted(tiles_from_slippy_map(root), key=lambda t: t[0])
+
+    def __len__(self):
+        return len(self.tiles)
+
+    def __getitem__(self, i):
+        tile, path = self.tiles[i]
+        img = Image.open(path).convert(self.mode)
+        if self.size is not None and img.size != (self.size, self.size):
+            resample = Image.NEAREST if self.mode == "P" else Image.BILINEAR
+            img = img.resize((self.size, self.size), resample)
+        return np.asarray(img), tile
+
+
+class SlippyMapTilesConcatenation:
+    """Aligned (inputs..., target) tiles from multiple slippy-map directories.
+
+    Returns (images NHWC-stacked along channels, mask HW, tile); raises if the
+    directories are not tile-aligned (robosat/datasets.py:58-75).
+    """
+
+    def __init__(self, inputs, target, size=None):
+        self.inputs = [SlippyMapTiles(path, mode="RGB", size=size) for path in inputs]
+        self.target = SlippyMapTiles(target, mode="P", size=size)
+
+        assert len({len(ds) for ds in self.inputs}) == 1, "same number of tiles in all image directories"
+        assert len(self.target) == len(self.inputs[0]), "same number of tiles in images and label directories"
+
+    def __len__(self):
+        return len(self.target)
+
+    def __getitem__(self, i):
+        images, tiles = zip(*(ds[i] for ds in self.inputs))
+        mask, mask_tile = self.target[i]
+
+        assert len(set(tiles)) == 1, "all images are for the same tile"
+        assert tiles[0] == mask_tile, "image tile is the same as label tile"
+
+        return np.concatenate(images, axis=-1), mask.astype(np.int32), tiles[0]
+
+
+class BufferedSlippyMapDirectory:
+    """Tiles composited with `overlap` pixels of 3x3-neighbor context.
+
+    Contract parity: robosat/datasets.py:83-136 (assertions included); the
+    overlap crop happens on-device in the predict step rather than here.
+    """
+
+    def __init__(self, root, size=512, overlap=32):
+        assert overlap >= 0
+        # The reference asserts size >= 256 (robosat/datasets.py:104); relaxed
+        # to the model's minimum so small tiles remain testable on CPU.
+        assert size >= 32
+
+        self.size = size
+        self.overlap = overlap
+        self.tiles = list(tiles_from_slippy_map(root))
+        self._by_tile = dict(self.tiles)
+
+    def __len__(self):
+        return len(self.tiles)
+
+    def __getitem__(self, i):
+        tile, _ = self.tiles[i]
+        image = buffer_tile_image(tile, self._by_tile, overlap=self.overlap, tile_size=self.size)
+        return image, tile
+
+    def unbuffer(self, probs):
+        o = self.overlap
+        if o == 0:
+            return probs
+        _, h, w = probs.shape
+        return probs[:, o : h - o, o : w - o]

@@ -1,0 +1,41 @@
+"""Device mesh construction and sharding helpers.
+
+This replaces torch DataParallel (robosat/tools/train.py:69, predict.py:63)
+wholesale: parallelism is declared, not programmed. A 1-D mesh over all chips
+with the batch axis sharded gives data parallelism; XLA inserts the psum over
+ICI for gradients and the all-gathers for replicated params. Multi-host runs
+initialize jax.distributed before building the mesh.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices=None, axis=DATA_AXIS):
+    """A 1-D mesh over all (or the given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh, ndim, axis=DATA_AXIS):
+    """NamedSharding splitting dim 0 (batch) over the mesh, rest replicated."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh):
+    """Fully replicated sharding (params, small state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, array, axis=DATA_AXIS):
+    """Place a host array onto the mesh, batch-dim sharded."""
+    return jax.device_put(array, batch_sharding(mesh, array.ndim, axis))
+
+
+def replicate(mesh, tree):
+    """Replicate a pytree onto every device of the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, sharding), tree)

@@ -1,0 +1,117 @@
+"""Jitted train/eval/predict steps over a device mesh.
+
+The hot loops of the reference (robosat/tools/train.py:171-194, 204-238;
+predict.py:81-113) become three compiled programs:
+
+- predict: normalize -> forward -> softmax -> quantize -> overlap crop, all
+  fused on device; only uint8 palette indices cross back to the host.
+- train: on-device augmentation -> forward -> loss -> grads -> optax update,
+  plus in-graph confusion counts; with the batch axis sharded over the mesh
+  the gradient mean compiles to a psum over ICI (sync data parallelism).
+- eval: forward -> loss + confusion counts under frozen BN statistics.
+
+All steps take raw uint8 batches; normalization/augmentation trace into the
+graph so the host pipeline stays decode-only.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from robosat_tpu.ops.augment import augment_batch, normalize
+from robosat_tpu.ops.metrics import confusion_counts
+from robosat_tpu.ops.quantize import softmax_quantize
+from robosat_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32):
+    """Compiled prediction: raw uint8 NHWC -> quantized fg uint8 N(H-2o)(W-2o)."""
+
+    def step(params, state, raw):
+        x = normalize(raw).astype(compute_dtype)
+        logits, _ = model.apply(params, state, x, train=False)
+        quantized = softmax_quantize(logits)
+        if overlap:
+            quantized = quantized[:, overlap:-overlap, overlap:-overlap]
+        return quantized
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh, 4)),
+        out_shardings=batch_sharding(mesh, 3),
+    )
+
+
+def make_segment_step(model, mesh=None, compute_dtype=jnp.float32):
+    """Compiled hard-mask prediction for serving: raw uint8 -> argmax class uint8."""
+
+    def step(params, state, raw):
+        x = normalize(raw).astype(compute_dtype)
+        logits, _ = model.apply(params, state, x, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh, 4)),
+        out_shardings=batch_sharding(mesh, 3),
+    )
+
+
+def make_train_step(model, loss_fn, optimizer, weight=None, mesh=None, compute_dtype=jnp.float32, augment=True):
+    """Compiled training step.
+
+    Returns step(params, state, opt_state, rng, images_u8, masks) ->
+    (params, state, opt_state, loss, counts).
+    """
+
+    def loss_and_aux(params, state, x, masks):
+        logits, new_state = model.apply(params, state, x, train=True)
+        loss = loss_fn(logits.astype(jnp.float32), masks, weight)
+        return loss, (new_state, logits)
+
+    def step(params, state, opt_state, rng, images, masks):
+        if augment:
+            images, masks = augment_batch(rng, images, masks)
+        x = normalize(images).astype(compute_dtype)
+
+        (loss, (new_state, logits)), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
+            params, state, x, masks
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        counts = confusion_counts(logits, masks)
+        return new_params, new_state, new_opt_state, loss, counts
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
+        out_shardings=(rep, rep, rep, rep, rep),
+    )
+
+
+def make_eval_step(model, loss_fn, weight=None, mesh=None, compute_dtype=jnp.float32):
+    """Compiled validation step: (params, state, images_u8, masks) -> (loss, counts)."""
+
+    def step(params, state, images, masks):
+        x = normalize(images).astype(compute_dtype)
+        logits, _ = model.apply(params, state, x, train=False)
+        loss = loss_fn(logits.astype(jnp.float32), masks, weight)
+        return loss, confusion_counts(logits, masks)
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
+        out_shardings=(rep, rep),
+    )

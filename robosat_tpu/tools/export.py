@@ -1,0 +1,55 @@
+"""`rs export` — serialize the model for deployment.
+
+The reference exports ONNX via torch.onnx (robosat/tools/export.py). The
+TPU-native analog is jax.export: the jitted forward is lowered to StableHLO
+and serialized into a portable artifact that any StableHLO consumer (XLA
+runtimes, IREE, ...) can load — documented divergence from the ONNX format.
+"""
+
+import argparse
+
+from robosat_tpu.checkpoint import load_model_checkpoint
+from robosat_tpu.config import load_config
+
+
+def add_parser(subparser):
+    parser = subparser.add_parser(
+        "export", help="exports model as serialized StableHLO", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+
+    parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
+    parser.add_argument("--image_size", type=int, default=512, help="image size to use for model")
+    parser.add_argument("--checkpoint", type=str, required=True, help="model checkpoint to load")
+    parser.add_argument("--batch_size", type=int, default=1, help="batch size baked into the export")
+    parser.add_argument("model", type=str, help="path to save the serialized StableHLO model to")
+
+    parser.set_defaults(func=main)
+
+
+def main(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # lowering needs no accelerator
+
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from robosat_tpu.models import get_model
+
+    dataset = load_config(args.dataset)
+    num_classes = len(dataset["common"]["classes"])
+
+    model = get_model("unet")
+    params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
+
+    def forward(x):
+        logits, _ = model.apply(params, state, x, train=False)
+        return logits
+
+    spec = jax.ShapeDtypeStruct((args.batch_size, args.image_size, args.image_size, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(forward))(spec)
+
+    with open(args.model, "wb") as fp:
+        fp.write(exported.serialize())
+
+    print("Exported StableHLO ({} bytes) to {}".format(len(exported.serialize()), args.model))

@@ -1,0 +1,113 @@
+"""`rs predict` — per-tile class-probability PNGs from a trained model.
+
+Output contract parity with the reference tool (robosat/tools/predict.py):
+quantized foreground probabilities as palette-P PNGs ("pink" continuous
+palette) in a slippy-map directory, buffered overlap-tile prediction.
+
+TPU-native internals: buffered tiles stream as raw uint8 through a threaded
+prefetch loader; normalization, forward, softmax, quantization, and the
+overlap crop are one compiled program sharded over the device mesh; only one
+uint8 per pixel returns to the host. PNG encoding overlaps with device
+compute via a writer pool.
+"""
+
+import argparse
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from PIL import Image
+from tqdm import tqdm
+
+from robosat_tpu.checkpoint import load_model_checkpoint
+from robosat_tpu.colors import continuous_palette_for_color
+from robosat_tpu.config import load_config
+from robosat_tpu.data.datasets import BufferedSlippyMapDirectory
+from robosat_tpu.data.loader import batches
+from robosat_tpu.device import configure_accelerator
+
+
+def add_parser(subparser):
+    parser = subparser.add_parser(
+        "predict",
+        help="predicts probability masks for slippy map tiles",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+
+    parser.add_argument("--batch_size", type=int, default=1, help="images per batch")
+    parser.add_argument("--checkpoint", type=str, required=True, help="model checkpoint to load")
+    parser.add_argument("--overlap", type=int, default=32, help="tile pixel overlap to predict on")
+    parser.add_argument("--tile_size", type=int, required=True, help="tile size for slippy map tiles")
+    parser.add_argument("--workers", type=int, default=0, help="number of workers pre-processing images")
+    parser.add_argument("tiles", type=str, help="directory to read slippy map image tiles from")
+    parser.add_argument("probs", type=str, help="directory to save slippy map probability masks to")
+    parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
+    parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
+
+    parser.set_defaults(func=main)
+
+
+def main(args):
+    model_config = load_config(args.model)
+    dataset = load_config(args.dataset)
+
+    devices = configure_accelerator(model_config["common"]["cuda"])
+
+    import jax.numpy as jnp
+
+    from robosat_tpu.models import get_model
+    from robosat_tpu.parallel.mesh import create_mesh, replicate
+    from robosat_tpu.parallel.steps import make_predict_step
+
+    num_classes = len(dataset["common"]["classes"])
+    assert num_classes == 2, "single channel requires binary model"
+
+    model = get_model(model_config["common"].get("model", "unet"))
+    params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
+
+    directory = BufferedSlippyMapDirectory(args.tiles, size=args.tile_size, overlap=args.overlap)
+    assert len(directory) > 0, "at least one tile in dataset"
+
+    # Round the batch up to a multiple of the mesh size so the batch axis
+    # shards evenly; padded rows are masked out by Batch.valid.
+    mesh = create_mesh(devices)
+    batch_size = -(-args.batch_size // len(devices)) * len(devices)
+
+    compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
+    predict_step = make_predict_step(model, mesh=mesh, overlap=args.overlap, compute_dtype=compute_dtype)
+    params = replicate(mesh, params)
+    state = replicate(mesh, state)
+
+    palette = continuous_palette_for_color("pink", 256)
+    writers = ThreadPoolExecutor(max_workers=max(args.workers, 2))
+    pending = []
+
+    def write_png(tile, quantized):
+        x, y, z = map(int, tile)
+        out = Image.fromarray(quantized, mode="P")
+        out.putpalette(palette)
+        os.makedirs(os.path.join(args.probs, str(z), str(x)), exist_ok=True)
+        path = os.path.join(args.probs, str(z), str(x), "{}.png".format(y))
+        out.save(path, optimize=True)
+
+    loader = batches(directory, batch_size, workers=max(args.workers, 2))
+    progress = tqdm(total=len(directory), desc="Eval", unit="tile", ascii=True)
+
+    for batch in loader:
+        (images,) = batch.arrays
+        quantized = np.asarray(predict_step(params, state, images))
+        for tile, q in zip(batch.meta, quantized[: batch.valid]):
+            pending.append(writers.submit(write_png, tile, q))
+        progress.update(batch.valid)
+
+    for fut in pending:
+        fut.result()
+    writers.shutdown()
+    progress.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    add_parser(parser.add_subparsers())
+    main(parser.parse_args(sys.argv[1:]))

@@ -1,0 +1,221 @@
+"""`rs train` — train the segmentation model on a slippy-map dataset.
+
+Contract parity with robosat/tools/train.py: two-TOML configuration, the same
+four losses, class weights required for CrossEntropy/mIoU/Focal, per-epoch
+checkpoint-EEEEE-of-TTTTT files with --checkpoint/--resume semantics, the same
+log-line and history-plot artifacts.
+
+TPU-native internals: the whole inner loop (augmentation, normalization,
+forward, loss, backward, Adam update, confusion counts) is ONE compiled
+program; the batch axis shards over the device mesh (data parallelism — the
+gradient mean becomes a psum over ICI), params/optimizer state replicate, and
+batch-norm statistics are computed over the global batch (sync-BN).
+"""
+
+import argparse
+import collections
+import os
+import sys
+
+from tqdm import tqdm
+
+from robosat_tpu.checkpoint import (
+    leaves_to_opt_state,
+    load_checkpoint,
+    load_model_checkpoint,
+    opt_state_to_leaves,
+    save_checkpoint,
+)
+from robosat_tpu.config import load_config
+from robosat_tpu.data.datasets import SlippyMapTilesConcatenation
+from robosat_tpu.data.loader import batches
+from robosat_tpu.device import configure_accelerator
+from robosat_tpu.log import Log
+from robosat_tpu.ops.metrics import Metrics
+from robosat_tpu.utils import plot
+
+
+def add_parser(subparser):
+    parser = subparser.add_parser(
+        "train", help="trains model on dataset", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+
+    parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
+    parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
+    parser.add_argument("--checkpoint", type=str, required=False, help="path to a model checkpoint (to retrain)")
+    parser.add_argument("--resume", type=bool, default=False, help="resume training or fine-tuning (if checkpoint)")
+    parser.add_argument("--workers", type=int, default=0, help="number of workers pre-processing images")
+
+    parser.set_defaults(func=main)
+
+
+def main(args):
+    model_config = load_config(args.model)
+    dataset_config = load_config(args.dataset)
+
+    devices = configure_accelerator(model_config["common"]["cuda"])
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from robosat_tpu.models import get_model
+    from robosat_tpu.ops.losses import get_loss
+    from robosat_tpu.parallel.mesh import create_mesh, replicate
+    from robosat_tpu.parallel.steps import make_eval_step, make_train_step
+
+    num_classes = len(dataset_config["common"]["classes"])
+    os.makedirs(model_config["common"]["checkpoint"], exist_ok=True)
+
+    loss_name = model_config["opt"]["loss"]
+    weight = None
+    try:
+        weight = np.asarray(dataset_config["weights"]["values"], np.float32)
+    except KeyError:
+        if loss_name in ("CrossEntropy", "mIoU", "Focal"):
+            sys.exit("Error: The loss function used, need dataset weights values")
+
+    try:
+        loss_fn = get_loss(loss_name)
+    except ValueError:
+        sys.exit("Error: Unknown [opt][loss] value !")
+
+    model = get_model(model_config["common"].get("model", "unet"))
+    params, state = model.init(model_config["common"].get("seed", 0), num_classes)
+
+    optimizer = optax.adam(model_config["opt"]["lr"])
+
+    resume_epoch = 0
+    opt_state = optimizer.init(params)
+    if args.checkpoint:
+        params, state, meta = load_model_checkpoint(args.checkpoint, num_classes)
+        if args.resume:
+            trees, meta = load_checkpoint(args.checkpoint)
+            if "opt_state" in trees:
+                opt_state = leaves_to_opt_state(optimizer.init(params), trees["opt_state"])
+            resume_epoch = int(meta.get("epoch", 0))
+        else:
+            opt_state = optimizer.init(params)
+
+    num_epochs = model_config["opt"]["epochs"]
+    if resume_epoch >= num_epochs:
+        sys.exit("Error: Epoch {} set in {} already reached by the checkpoint provided".format(num_epochs, args.model))
+
+    mesh = create_mesh(devices)
+    batch_size = -(-model_config["common"]["batch_size"] // len(devices)) * len(devices)
+    image_size = model_config["common"]["image_size"]
+
+    compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
+    train_step = make_train_step(model, loss_fn, optimizer, weight=weight, mesh=mesh, compute_dtype=compute_dtype)
+    eval_step = make_eval_step(model, loss_fn, weight=weight, mesh=mesh, compute_dtype=compute_dtype)
+
+    params = replicate(mesh, params)
+    state = replicate(mesh, state)
+    opt_state = replicate(mesh, opt_state)
+
+    path = dataset_config["common"]["dataset"]
+    train_dataset = SlippyMapTilesConcatenation(
+        [os.path.join(path, "training", "images")], os.path.join(path, "training", "labels"), size=image_size
+    )
+    val_dataset = SlippyMapTilesConcatenation(
+        [os.path.join(path, "validation", "images")], os.path.join(path, "validation", "labels"), size=image_size
+    )
+    assert len(train_dataset) > 0, "at least one tile in training dataset"
+    assert len(val_dataset) > 0, "at least one tile in validation dataset"
+
+    history = collections.defaultdict(list)
+    log = Log(os.path.join(model_config["common"]["checkpoint"], "log"))
+
+    log.log("--- Hyper Parameters on Dataset: {} ---".format(dataset_config["common"]["dataset"]))
+    log.log("Batch Size:\t {}".format(model_config["common"]["batch_size"]))
+    log.log("Image Size:\t {}".format(image_size))
+    log.log("Learning Rate:\t {}".format(model_config["opt"]["lr"]))
+    log.log("Loss function:\t {}".format(loss_name))
+    if weight is not None:
+        log.log("Weights :\t {}".format(dataset_config["weights"]["values"]))
+    log.log("---")
+
+    base_rng = jax.random.PRNGKey(model_config["common"].get("seed", 0))
+
+    for epoch in range(resume_epoch, num_epochs):
+        log.log("Epoch: {}/{}".format(epoch + 1, num_epochs))
+
+        # Train pass.
+        metrics = Metrics(range(num_classes))
+        running_loss, num_samples, step_idx = 0.0, 0, 0
+        epoch_rng = jax.random.fold_in(base_rng, epoch)
+        for batch in tqdm(
+            list(batches(train_dataset, batch_size, shuffle=True, drop_last=True, workers=max(args.workers, 2), seed=epoch)),
+            desc="Train",
+            unit="batch",
+            ascii=True,
+        ):
+            images, masks = batch.arrays
+            rng = jax.random.fold_in(epoch_rng, step_idx)
+            params, state, opt_state, loss, counts = train_step(params, state, opt_state, rng, images, masks)
+            running_loss += float(loss)
+            num_samples += batch.valid
+            metrics.add_counts(np.asarray(counts))
+            step_idx += 1
+
+        train_hist = {
+            "loss": running_loss / max(num_samples, 1),
+            "miou": metrics.get_miou(),
+            "fg_iou": metrics.get_fg_iou(),
+            "mcc": metrics.get_mcc(),
+        }
+        log.log(
+            "Train    loss: {:.4f}, mIoU: {:.3f}, {} IoU: {:.3f}, MCC: {:.3f}".format(
+                train_hist["loss"],
+                train_hist["miou"],
+                dataset_config["common"]["classes"][1],
+                train_hist["fg_iou"],
+                train_hist["mcc"],
+            )
+        )
+        for k, v in train_hist.items():
+            history["train " + k].append(v)
+
+        # Validation pass.
+        metrics = Metrics(range(num_classes))
+        running_loss, num_samples = 0.0, 0
+        for batch in tqdm(
+            list(batches(val_dataset, batch_size, drop_last=True, workers=max(args.workers, 2))),
+            desc="Validate",
+            unit="batch",
+            ascii=True,
+        ):
+            images, masks = batch.arrays
+            loss, counts = eval_step(params, state, images, masks)
+            running_loss += float(loss)
+            num_samples += batch.valid
+            metrics.add_counts(np.asarray(counts))
+
+        val_hist = {
+            "loss": running_loss / max(num_samples, 1),
+            "miou": metrics.get_miou(),
+            "fg_iou": metrics.get_fg_iou(),
+            "mcc": metrics.get_mcc(),
+        }
+        log.log(
+            "Validate loss: {:.4f}, mIoU: {:.3f}, {} IoU: {:.3f}, MCC: {:.3f}".format(
+                val_hist["loss"], val_hist["miou"], dataset_config["common"]["classes"][1], val_hist["fg_iou"], val_hist["mcc"]
+            )
+        )
+        for k, v in val_hist.items():
+            history["val " + k].append(v)
+
+        visual = "history-{:05d}-of-{:05d}.png".format(epoch + 1, num_epochs)
+        plot(os.path.join(model_config["common"]["checkpoint"], visual), history)
+
+        checkpoint_name = "checkpoint-{:05d}-of-{:05d}.npz".format(epoch + 1, num_epochs)
+        save_checkpoint(
+            os.path.join(model_config["common"]["checkpoint"], checkpoint_name),
+            {
+                "params": jax.device_get(params),
+                "state": jax.device_get(state),
+                "opt_state": opt_state_to_leaves(jax.device_get(opt_state)),
+            },
+            meta={"epoch": epoch + 1},
+        )
