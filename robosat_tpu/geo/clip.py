@@ -23,6 +23,7 @@ stays small.
 """
 
 import math
+import os
 from collections import defaultdict
 
 import numpy as np
@@ -41,6 +42,19 @@ _PREDICATES = {
     "difference": lambda a, b: a and not b,
     "xor": lambda a, b: a != b,
 }
+
+# The C++ engine (robosat_tpu/native/geometry.cpp) implements the identical
+# algorithm; this module is the fallback and test oracle. Set
+# RS_NATIVE_GEOMETRY=0 to force the Python path.
+_USE_NATIVE = os.environ.get("RS_NATIVE_GEOMETRY", "1") != "0"
+
+
+def _native():
+    if not _USE_NATIVE:
+        return None
+    from robosat_tpu import native
+
+    return native.load()
 
 
 def _collect_rings(geom):
@@ -396,13 +410,27 @@ def boolean_op(geom_a, geom_b, op):
     Returns a MultiPolygon (possibly empty). `geom_b` may be None for
     union-normalization of a single (possibly self-overlapping) geometry.
     """
-    _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
-    q = _snap_quantum(_collect_rings(geom_a), _collect_rings(geom_b))
+    rings_a = _collect_rings(geom_a)
+    rings_b = _collect_rings(geom_b)
+    q = _snap_quantum(rings_a, rings_b)
+
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        directed = native.overlay_edges(rings_a, rings_b, op)
+    else:
+        _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
     return _assemble_polygons(_link_rings(directed), q)
 
 
 def overlay_area(geom_a, geom_b, op):
     """Area of the boolean overlay without constructing geometry (exact)."""
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        return native.overlay_area(_collect_rings(geom_a), _collect_rings(geom_b), op)
     area, _ = _overlay(geom_a, geom_b, op, want_geometry=False)
     return area
 

@@ -17,9 +17,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from robosat_tpu.models import resnet
-from robosat_tpu.models.layers import conv_apply, conv_init, init_rng, max_pool, upsample_nearest_2x
+from robosat_tpu.models.layers import (
+    conv_apply,
+    conv_init,
+    fused_upsample_conv3x3,
+    init_rng,
+    max_pool,
+    upsample_nearest_2x,
+)
 
 NUM_FILTERS = 32
+
+# The fused decoder rewrite (4/9 FLOPs, no upsampled intermediate) is the
+# default; flip for a bit-exact-to-naive reference path when debugging.
+FUSED_DECODER = True
 
 
 def _convrelu_init(rng, cin, cout):
@@ -31,6 +42,8 @@ def _convrelu_apply(params, x):
 
 
 def _decoder_apply(params, x):
+    if FUSED_DECODER:
+        return jax.nn.relu(fused_upsample_conv3x3(params, x))
     return _convrelu_apply(params, upsample_nearest_2x(x))
 
 

@@ -1,0 +1,96 @@
+"""Native (C++) geometry engine: build-on-demand + ctypes bindings.
+
+The shared library compiles lazily from geometry.cpp on first use (g++ is in
+the toolchain) and is cached next to the source; every entry point has a
+pure-Python fallback in robosat_tpu.geo.clip, which also serves as the test
+oracle for the native engine.
+"""
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "geometry.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "_geometry.so")
+
+_lib = None
+_tried = False
+
+_OPS = {"union": 0, "intersection": 1, "difference": 2, "xor": 3}
+
+
+def _build():
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_LIB + ".tmp", _LIB)
+
+
+def load():
+    """The loaded native library, building it if needed; None on failure."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        lib.rs_overlay_area.restype = ctypes.c_double
+        lib.rs_overlay_area.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.rs_overlay_edges.restype = ctypes.POINTER(ctypes.c_double)
+        lib.rs_overlay_edges.argtypes = lib.rs_overlay_area.argtypes + [ctypes.POINTER(ctypes.c_int64)]
+        lib.rs_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as exc:  # fall back to pure Python
+        print("Warning: native geometry unavailable ({}); using Python engine".format(exc), file=sys.stderr)
+        _lib = None
+    return _lib
+
+
+def _pack(rings):
+    """Rings (list of (N,2) arrays) -> (coords ptr, lens ptr, n, keepalive)."""
+    if not rings:
+        null_d = ctypes.POINTER(ctypes.c_double)()
+        null_i = ctypes.POINTER(ctypes.c_int32)()
+        return null_d, null_i, 0, ()
+    coords = np.ascontiguousarray(np.concatenate([np.asarray(r, np.float64).reshape(-1, 2) for r in rings]))
+    lens = np.asarray([len(r) for r in rings], np.int32)
+    return (
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(rings),
+        (coords, lens),
+    )
+
+
+def overlay_area(rings_a, rings_b, op):
+    """Native boolean-overlay area; raises if the library is unavailable."""
+    lib = load()
+    assert lib is not None
+    ca, la, na, keep_a = _pack(rings_a)
+    cb, lb, nb, keep_b = _pack(rings_b)
+    return float(lib.rs_overlay_area(ca, la, na, cb, lb, nb, _OPS[op]))
+
+
+def overlay_edges(rings_a, rings_b, op):
+    """Native boolean-overlay boundary edges as a list of ((x1,y1),(x2,y2))."""
+    lib = load()
+    assert lib is not None
+    ca, la, na, keep_a = _pack(rings_a)
+    cb, lb, nb, keep_b = _pack(rings_b)
+    count = ctypes.c_int64(0)
+    ptr = lib.rs_overlay_edges(ca, la, na, cb, lb, nb, _OPS[op], ctypes.byref(count))
+    try:
+        flat = np.ctypeslib.as_array(ptr, shape=(count.value * 4,)).copy() if count.value else np.zeros(0)
+    finally:
+        lib.rs_free(ptr)
+    edges = flat.reshape(-1, 4)
+    return [((e[0], e[1]), (e[2], e[3])) for e in edges]

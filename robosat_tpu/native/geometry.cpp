@@ -1,0 +1,352 @@
+// Slab-decomposition polygon boolean overlay — native engine.
+//
+// C++ port of robosat_tpu/geo/clip.py's overlay (same snapping and slab
+// semantics; the Python implementation doubles as the test oracle). This is
+// the hot path of `rs merge` / `rs dedupe` over large feature collections
+// (reference call sites: robosat/tools/merge.py:47-65, dedupe.py:53-63) —
+// the role GEOS played for the reference.
+//
+// Exposed C ABI (ctypes):
+//   rs_overlay_area(...)  -> double area of the boolean result
+//   rs_overlay_edges(...) -> directed interior-left boundary edges
+//   rs_free(ptr)
+//
+// Geometries arrive as flat coordinate arrays + ring lengths; op codes:
+// 0=union, 1=intersection, 2=difference, 3=xor.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <set>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Pt {
+    double x, y;
+    bool operator<(const Pt& o) const { return x < o.x || (x == o.x && y < o.y); }
+    bool operator==(const Pt& o) const { return x == o.x && y == o.y; }
+};
+
+struct PtHash {
+    size_t operator()(const Pt& p) const {
+        uint64_t a, b;
+        static_assert(sizeof(double) == 8, "");
+        std::memcpy(&a, &p.x, 8);
+        std::memcpy(&b, &p.y, 8);
+        return std::hash<uint64_t>()(a * 1000003ull ^ b);
+    }
+};
+
+struct Seg {
+    Pt p, q;
+    int pa, pb;  // even-odd parity toggles per input tag
+};
+
+double snap(double v, double q) { return std::round(v / q) * q; }
+
+// Split points where segment b cuts segment a (and vice versa); mirrors
+// _seg_split_points in clip.py.
+void seg_split_points(const Pt& a1, const Pt& a2, const Pt& b1, const Pt& b2,
+                      std::vector<Pt>& on_a, std::vector<Pt>& on_b) {
+    double ax = a2.x - a1.x, ay = a2.y - a1.y;
+    double bx = b2.x - b1.x, by = b2.y - b1.y;
+    double denom = ax * by - ay * bx;
+
+    if (denom != 0.0) {
+        double cx = b1.x - a1.x, cy = b1.y - a1.y;
+        double t = (cx * by - cy * bx) / denom;
+        double s = (cx * ay - cy * ax) / denom;
+        if (t >= -1e-12 && t <= 1.0 + 1e-12 && s >= -1e-12 && s <= 1.0 + 1e-12) {
+            Pt p{a1.x + t * ax, a1.y + t * ay};
+            on_a.push_back(p);
+            on_b.push_back(p);
+        }
+        return;
+    }
+    // Parallel: collinear only if b1 lies on a's line.
+    if ((b1.x - a1.x) * ay - (b1.y - a1.y) * ax != 0.0) return;
+    on_a.push_back(b1);
+    on_a.push_back(b2);
+    on_b.push_back(a1);
+    on_b.push_back(a2);
+}
+
+// Parameter of p along [s1, s2] via the dominant axis; <0 when outside (0,1).
+double param_on(const Pt& p, const Pt& s1, const Pt& s2) {
+    double dx = s2.x - s1.x, dy = s2.y - s1.y;
+    double t;
+    if (std::fabs(dx) >= std::fabs(dy)) {
+        if (dx == 0.0) return -1.0;
+        t = (p.x - s1.x) / dx;
+    } else {
+        t = (p.y - s1.y) / dy;
+    }
+    return (t > 0.0 && t < 1.0) ? t : -1.0;
+}
+
+bool pred(int op, bool a, bool b) {
+    switch (op) {
+        case 0: return a || b;
+        case 1: return a && b;
+        case 2: return a && !b;
+        default: return a != b;
+    }
+}
+
+struct Overlay {
+    double area = 0.0;
+    std::vector<double> edges;  // x1,y1,x2,y2 per directed edge
+};
+
+Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_a,
+                    const double* coords_b, const int32_t* rings_b, int n_rings_b,
+                    int op, bool want_edges) {
+    Overlay result;
+
+    // Snap quantum from the joint extent (mirrors _snap_quantum).
+    double lo = INFINITY, hi = -INFINITY;
+    auto scan = [&](const double* c, const int32_t* r, int n) {
+        int64_t total = 0;
+        for (int i = 0; i < n; i++) total += r[i];
+        for (int64_t i = 0; i < 2 * total; i++) {
+            lo = std::min(lo, c[i]);
+            hi = std::max(hi, c[i]);
+        }
+    };
+    if (n_rings_a) scan(coords_a, rings_a, n_rings_a);
+    if (n_rings_b) scan(coords_b, rings_b, n_rings_b);
+    if (!std::isfinite(lo)) return result;
+    double extent = std::max(std::max(hi - lo, std::fabs(hi)), std::max(std::fabs(lo), 1e-30));
+    double q = extent * 1e-10;
+
+    // Snapped segments with per-tag parity.
+    std::vector<Seg> segs;
+    auto add_rings = [&](const double* c, const int32_t* r, int n, int tag) {
+        int64_t off = 0;
+        for (int ri = 0; ri < n; ri++) {
+            int len = r[ri];
+            if (len >= 3) {
+                std::vector<Pt> snapped(len);
+                for (int i = 0; i < len; i++)
+                    snapped[i] = Pt{snap(c[2 * (off + i)], q), snap(c[2 * (off + i) + 1], q)};
+                for (int i = 0; i < len; i++) {
+                    Pt p1 = snapped[i], p2 = snapped[(i + 1) % len];
+                    if (!(p1 == p2)) segs.push_back(Seg{p1, p2, tag == 0, tag == 1});
+                }
+            }
+            off += len;
+        }
+    };
+    add_rings(coords_a, rings_a, n_rings_a, 0);
+    add_rings(coords_b, rings_b, n_rings_b, 1);
+    if (segs.empty()) return result;
+
+    // Pairwise splitting with an x-sorted sweep prefilter.
+    size_t n = segs.size();
+    std::vector<std::set<std::pair<double, Pt>>> splits(n);
+    struct Box { double x0, y0, x1, y1; };
+    std::vector<Box> boxes(n);
+    for (size_t i = 0; i < n; i++) {
+        boxes[i] = Box{std::min(segs[i].p.x, segs[i].q.x), std::min(segs[i].p.y, segs[i].q.y),
+                       std::max(segs[i].p.x, segs[i].q.x), std::max(segs[i].p.y, segs[i].q.y)};
+    }
+    std::vector<size_t> order(n);
+    for (size_t i = 0; i < n; i++) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) { return boxes[a].x0 < boxes[b].x0; });
+
+    std::vector<Pt> on_a, on_b;
+    for (size_t oi = 0; oi < n; oi++) {
+        size_t i = order[oi];
+        const Box& bi = boxes[i];
+        for (size_t oj = oi + 1; oj < n; oj++) {
+            size_t j = order[oj];
+            const Box& bj = boxes[j];
+            if (bj.x0 > bi.x1) break;
+            if (bj.x1 < bi.x0 || bj.y0 > bi.y1 || bj.y1 < bi.y0) continue;
+            on_a.clear();
+            on_b.clear();
+            seg_split_points(segs[i].p, segs[i].q, segs[j].p, segs[j].q, on_a, on_b);
+            for (const Pt& p : on_a) {
+                Pt sp{snap(p.x, q), snap(p.y, q)};
+                double t = param_on(sp, segs[i].p, segs[i].q);
+                if (t > 0.0) splits[i].insert({t, sp});
+            }
+            for (const Pt& p : on_b) {
+                Pt sp{snap(p.x, q), snap(p.y, q)};
+                double t = param_on(sp, segs[j].p, segs[j].q);
+                if (t > 0.0) splits[j].insert({t, sp});
+            }
+        }
+    }
+
+    // Rebuild split segments, merging coincident ones with parity XOR.
+    struct KeyHash {
+        size_t operator()(const std::pair<Pt, Pt>& k) const {
+            PtHash h;
+            return h(k.first) * 31 ^ h(k.second);
+        }
+    };
+    struct KeyEq {
+        bool operator()(const std::pair<Pt, Pt>& a, const std::pair<Pt, Pt>& b) const {
+            return a.first == b.first && a.second == b.second;
+        }
+    };
+    std::unordered_map<std::pair<Pt, Pt>, std::pair<int, int>, KeyHash, KeyEq> merged;
+    for (size_t i = 0; i < n; i++) {
+        Pt prev = segs[i].p;
+        auto flush = [&](const Pt& a, const Pt& b) {
+            if (a == b) return;
+            auto key = (a < b) ? std::make_pair(a, b) : std::make_pair(b, a);
+            auto& par = merged[key];
+            par.first ^= segs[i].pa;
+            par.second ^= segs[i].pb;
+        };
+        for (const auto& [t, sp] : splits[i]) {
+            flush(prev, sp);
+            prev = sp;
+        }
+        flush(prev, segs[i].q);
+    }
+
+    struct Span {
+        Pt lo, hi;
+        int pa, pb;
+    };
+    std::vector<Span> spans;
+    std::vector<double> xs_v;
+    for (const auto& [key, par] : merged) {
+        if (!par.first && !par.second) continue;
+        xs_v.push_back(key.first.x);
+        xs_v.push_back(key.second.x);
+        if (key.first.x != key.second.x) {
+            Span s;
+            if (key.first.x < key.second.x) { s.lo = key.first; s.hi = key.second; }
+            else { s.lo = key.second; s.hi = key.first; }
+            s.pa = par.first;
+            s.pb = par.second;
+            spans.push_back(s);
+        }
+    }
+    std::sort(xs_v.begin(), xs_v.end());
+    xs_v.erase(std::unique(xs_v.begin(), xs_v.end()), xs_v.end());
+
+    // Slab sweep.
+    struct Active { double ym, y0, y1; int pa, pb; };
+    std::vector<Active> active;
+    std::map<double, std::vector<std::array<double, 3>>> vertical;  // x -> (ylo,yhi,sign)
+
+    // Sort spans by lo.x so each slab scans a window (still O(slabs*spans)
+    // worst case; spans are few after D&C unions keep overlays small).
+    for (size_t k = 0; k + 1 < xs_v.size(); k++) {
+        double x0 = xs_v[k], x1 = xs_v[k + 1];
+        if (x1 <= x0) continue;
+        double xm = 0.5 * (x0 + x1);
+        active.clear();
+        for (const Span& s : spans) {
+            if (s.lo.x <= x0 && s.hi.x >= x1) {
+                double dx = s.hi.x - s.lo.x;
+                double dy = s.hi.y - s.lo.y;
+                Active a;
+                a.ym = s.lo.y + (xm - s.lo.x) / dx * dy;
+                a.y0 = s.lo.y + (x0 - s.lo.x) / dx * dy;
+                a.y1 = s.lo.y + (x1 - s.lo.x) / dx * dy;
+                a.pa = s.pa;
+                a.pb = s.pb;
+                active.push_back(a);
+            }
+        }
+        if (active.empty()) continue;
+        std::sort(active.begin(), active.end(), [](const Active& a, const Active& b) { return a.ym < b.ym; });
+
+        bool in_a = false, in_b = false;
+        for (size_t idx = 0; idx + 1 < active.size(); idx++) {
+            const Active& cur = active[idx];
+            if (cur.pa) in_a = !in_a;
+            if (cur.pb) in_b = !in_b;
+            if (!pred(op, in_a, in_b)) continue;
+            const Active& nxt = active[idx + 1];
+            result.area += (x1 - x0) * (nxt.ym - cur.ym);
+            if (want_edges) {
+                double by0 = snap(cur.y0, q), by1 = snap(cur.y1, q);
+                double ty0 = snap(nxt.y0, q), ty1 = snap(nxt.y1, q);
+                result.edges.insert(result.edges.end(), {x0, by0, x1, by1});      // bottom, L->R
+                result.edges.insert(result.edges.end(), {x1, ty1, x0, ty0});      // top, R->L
+                if (ty1 > by1) vertical[x1].push_back({by1, ty1, +1.0});
+                if (ty0 > by0) vertical[x0].push_back({by0, ty0, -1.0});
+            }
+        }
+    }
+
+    if (!want_edges) return result;
+
+    // Cancel opposite horizontal-ish edges.
+    std::unordered_map<std::pair<Pt, Pt>, int, KeyHash, KeyEq> net;
+    std::vector<double> kept;
+    for (size_t i = 0; i + 3 < result.edges.size(); i += 4) {
+        Pt p1{result.edges[i], result.edges[i + 1]}, p2{result.edges[i + 2], result.edges[i + 3]};
+        if (p1 == p2) continue;
+        if (p1 < p2) net[{p1, p2}] += 1;
+        else net[{p2, p1}] -= 1;
+    }
+    for (const auto& [key, count] : net) {
+        for (int c = 0; c < std::abs(count); c++) {
+            if (count > 0) kept.insert(kept.end(), {key.first.x, key.first.y, key.second.x, key.second.y});
+            else kept.insert(kept.end(), {key.second.x, key.second.y, key.first.x, key.first.y});
+        }
+    }
+
+    // Net vertical boundary intervals per x.
+    for (const auto& [x, intervals] : vertical) {
+        std::vector<double> breaks;
+        for (const auto& iv : intervals) {
+            breaks.push_back(iv[0]);
+            breaks.push_back(iv[1]);
+        }
+        std::sort(breaks.begin(), breaks.end());
+        breaks.erase(std::unique(breaks.begin(), breaks.end()), breaks.end());
+        for (size_t i = 0; i + 1 < breaks.size(); i++) {
+            double lo_y = breaks[i], hi_y = breaks[i + 1];
+            double mid = 0.5 * (lo_y + hi_y);
+            int cover = 0;
+            for (const auto& iv : intervals)
+                if (iv[0] < mid && mid < iv[1]) cover += (int)iv[2];
+            if (cover > 0) kept.insert(kept.end(), {x, lo_y, x, hi_y});
+            else if (cover < 0) kept.insert(kept.end(), {x, hi_y, x, lo_y});
+        }
+    }
+
+    result.edges = std::move(kept);
+    return result;
+}
+
+}  // namespace
+
+extern "C" {
+
+double rs_overlay_area(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                       const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                       int32_t op) {
+    return run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, false).area;
+}
+
+// Returns a malloc'd array of 4*count doubles (x1,y1,x2,y2 per edge); the
+// caller frees it with rs_free. count is written through out_count.
+double* rs_overlay_edges(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                         const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                         int32_t op, int64_t* out_count) {
+    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
+    *out_count = (int64_t)(r.edges.size() / 4);
+    double* out = (double*)std::malloc(r.edges.size() * sizeof(double));
+    if (out) std::copy(r.edges.begin(), r.edges.end(), out);
+    return out;
+}
+
+void rs_free(void* p) { std::free(p); }
+
+}  // extern "C"
