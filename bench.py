@@ -5,12 +5,14 @@ Measures the compiled predict program (normalize -> U-Net forward -> softmax
 the real predict path, reference robosat/tools/predict.py:32) in bfloat16
 against the 5,000 tiles/sec/chip north-star target (BASELINE.json).
 
-Methodology notes for this harness: the TPU is reached through a tunnel with
-noisy RPC latency, and `block_until_ready` has been observed returning before
-execution completes, so each timed call fetches a 4-byte in-graph checksum to
-the host (which genuinely waits for the result), inputs rotate so no caching
-can short-circuit, and the minimum over repetitions estimates pure device
-time. Prints exactly one JSON line.
+Methodology notes for this harness: the TPU is reached through a tunnel whose
+RPC round-trip dwarfs the device time of one batch, and `block_until_ready`
+has been observed returning before execution completes. So: K step programs
+are queued back-to-back, each carrying a genuine data dependency on the
+previous step's 4-byte checksum (cannot reorder, cannot be elided), only the
+final checksum is fetched (one round trip), and the marginal time between a
+short and a long chain isolates pure device time per batch. Prints exactly
+one JSON line.
 """
 
 import json
@@ -19,6 +21,12 @@ import time
 import numpy as np
 
 TARGET = 5000.0  # tiles/sec/chip (BASELINE.json north star)
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    fn(*args)
+    return time.perf_counter() - t0
 
 
 def main():
@@ -40,30 +48,32 @@ def main():
     batch = 8
 
     @jax.jit
-    def step(params, state, raw):
-        x = normalize(raw).astype(jnp.bfloat16)
+    def step(params, state, raw, salt):
+        # The salt (previous step's checksum) forces sequential execution of
+        # queued steps; adding salt * 1e-30 in fp32 is value-neutral after the
+        # bf16 round but cannot be dead-code-eliminated.
+        x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
         logits, _ = unet.apply(params, state, x, train=False)
         quantized = softmax_quantize(logits)[:, overlap:-overlap, overlap:-overlap]
-        # 4-byte checksum: fetching it forces real completion on the host.
-        return quantized, jnp.sum(quantized.astype(jnp.int32))
+        return jnp.sum(quantized.astype(jnp.int32))
 
     rng = np.random.default_rng(0)
-    inputs = [
-        jax.device_put(rng.integers(0, 255, (batch, side, side, 3), dtype=np.uint8), device)
-        for _ in range(3)
-    ]
+    raw = jax.device_put(rng.integers(0, 255, (batch, side, side, 3), dtype=np.uint8), device)
 
-    int(step(params, state, inputs[0])[1])  # compile + warmup
+    def run_chain(k):
+        salt = jnp.int32(0)
+        for _ in range(k):
+            salt = step(params, state, raw, salt)
+        return int(salt)  # single 4-byte fetch: one tunnel round trip
 
-    best = float("inf")
-    for i in range(12):
-        raw = inputs[i % len(inputs)]
-        t0 = time.perf_counter()
-        _, checksum = step(params, state, raw)
-        int(checksum)  # forces completion
-        best = min(best, time.perf_counter() - t0)
+    run_chain(2)  # compile + warmup
 
-    per_chip = batch / best
+    short, long_ = 2, 10
+    t_short = min(_timed(run_chain, short) for _ in range(3))
+    t_long = min(_timed(run_chain, long_) for _ in range(3))
+    per_batch = max((t_long - t_short) / (long_ - short), 1e-9)
+
+    per_chip = batch / per_batch
 
     print(
         json.dumps(

@@ -7,6 +7,9 @@ only, and augmentation/normalization run on-device inside the jitted step
 prefetch loader (robosat_tpu.data.loader).
 """
 
+import collections
+import threading
+
 import numpy as np
 from PIL import Image
 
@@ -68,7 +71,7 @@ class BufferedSlippyMapDirectory:
     overlap crop happens on-device in the predict step rather than here.
     """
 
-    def __init__(self, root, size=512, overlap=32):
+    def __init__(self, root, size=512, overlap=32, cache_tiles=256):
         assert overlap >= 0
         # The reference asserts size >= 256 (robosat/datasets.py:104); relaxed
         # to the model's minimum so small tiles remain testable on CPU.
@@ -79,12 +82,35 @@ class BufferedSlippyMapDirectory:
         self.tiles = list(tiles_from_slippy_map(root))
         self._by_tile = dict(self.tiles)
 
+        # Buffering reads every tile up to 9x (once as center, 8x as a
+        # neighbor). An LRU over decoded tiles turns that into ~1 decode per
+        # tile for the sorted column-major traversal (the reference re-opens
+        # and re-decodes through PIL each time, robosat/tiles.py:162-227).
+        self._cache = collections.OrderedDict()
+        self._cache_limit = cache_tiles
+        self._lock = threading.Lock()
+
     def __len__(self):
         return len(self.tiles)
 
+    def _load_cached(self, path):
+        with self._lock:
+            if path in self._cache:
+                self._cache.move_to_end(path)
+                return self._cache[path]
+        with Image.open(path) as img:
+            decoded = np.asarray(img.convert("RGB"))
+        with self._lock:
+            self._cache[path] = decoded
+            if len(self._cache) > self._cache_limit:
+                self._cache.popitem(last=False)
+        return decoded
+
     def __getitem__(self, i):
         tile, _ = self.tiles[i]
-        image = buffer_tile_image(tile, self._by_tile, overlap=self.overlap, tile_size=self.size)
+        image = buffer_tile_image(
+            tile, self._by_tile, overlap=self.overlap, tile_size=self.size, load=self._load_cached
+        )
         return image, tile
 
     def unbuffer(self, probs):

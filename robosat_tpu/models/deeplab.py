@@ -1,0 +1,110 @@
+"""DeepLabv3+ segmentation head on the ResNet-50 backbone.
+
+Second model family behind the registry (the "pluggable backbone" stretch goal
+in BASELINE.json) — the reference hard-codes one architecture; here
+`model = 'deeplabv3plus'` in the model TOML selects this one under the same
+train/predict CLI.
+
+Architecture (Chen et al. 2018, arXiv:1802.02611), TPU-first layout:
+- backbone at output stride 16 (layer4 stride 1, dilation 2)
+- ASPP over the 2048-ch feature map: 1x1 conv, three 3x3 convs dilated
+  (6, 12, 18), and a global-pool image branch; concat -> 1x1 conv to 256
+- decoder: 4x upsample, concat with the 1x1-projected (48 ch) low-level
+  enc1 features, two 3x3 convs at 256, 1x1 classifier, 4x upsample to input.
+
+All convs bias-free + BN + ReLU; NHWC; bilinear upsampling via
+jax.image.resize traces into the jitted step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robosat_tpu.models import resnet
+from robosat_tpu.models.layers import bn_apply, bn_init, conv_apply, conv_init, init_rng
+
+ASPP_RATES = (6, 12, 18)
+ASPP_CH = 256
+LOWLEVEL_CH = 48
+
+
+def _cbr_init(rng, k, cin, cout):
+    conv = conv_init(rng, k, k, cin, cout)
+    bn_p, bn_s = bn_init(cout)
+    return {"conv": conv, "bn": bn_p}, {"bn": bn_s}
+
+
+def _cbr_apply(params, state, x, train, dilation=1):
+    out = conv_apply(params["conv"], x, stride=1, dilation=dilation)
+    out, bn_s = bn_apply(params["bn"], state["bn"], out, train)
+    return jax.nn.relu(out), {"bn": bn_s}
+
+
+def init(rng, num_classes, in_channels=3):
+    """Initialize DeepLabv3+ params and state. Returns (params, state)."""
+    rng = init_rng(rng)
+    enc_params, enc_state = resnet.init(rng, in_channels=in_channels)
+
+    params = {"encoder": enc_params}
+    state = {"encoder": enc_state}
+
+    # ASPP branches over 2048 channels.
+    params["aspp1"], state["aspp1"] = _cbr_init(rng, 1, 2048, ASPP_CH)
+    for i, _ in enumerate(ASPP_RATES):
+        params["aspp_d{}".format(i)], state["aspp_d{}".format(i)] = _cbr_init(rng, 3, 2048, ASPP_CH)
+    params["aspp_pool"], state["aspp_pool"] = _cbr_init(rng, 1, 2048, ASPP_CH)
+    params["aspp_proj"], state["aspp_proj"] = _cbr_init(rng, 1, ASPP_CH * (2 + len(ASPP_RATES)), ASPP_CH)
+
+    # Decoder.
+    params["lowlevel"], state["lowlevel"] = _cbr_init(rng, 1, 256, LOWLEVEL_CH)
+    params["dec1"], state["dec1"] = _cbr_init(rng, 3, ASPP_CH + LOWLEVEL_CH, ASPP_CH)
+    params["dec2"], state["dec2"] = _cbr_init(rng, 3, ASPP_CH, ASPP_CH)
+    params["final"] = {
+        "w": conv_init(rng, 1, 1, ASPP_CH, num_classes)["w"],
+        "b": np.zeros((num_classes,), np.float32),
+    }
+    return params, state
+
+
+def _resize_bilinear(x, h, w):
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, h, w, c), method="bilinear")
+
+
+def apply(params, state, x, train=False):
+    """Forward pass. x: NHWC float (normalized). Returns (logits, new_state)."""
+    n, h, w, _ = x.shape
+    assert h % 16 == 0 and w % 16 == 0, "image resolution has to be divisible by 16"
+
+    new_state = {}
+    (enc1, _, _, enc4), new_state["encoder"] = resnet.apply(
+        params["encoder"], state["encoder"], x, train, dilate_last_stage=True
+    )
+
+    # ASPP.
+    branches = []
+    out, new_state["aspp1"] = _cbr_apply(params["aspp1"], state["aspp1"], enc4, train)
+    branches.append(out)
+    for i, rate in enumerate(ASPP_RATES):
+        key = "aspp_d{}".format(i)
+        out, new_state[key] = _cbr_apply(params[key], state[key], enc4, train, dilation=rate)
+        branches.append(out)
+
+    pooled = jnp.mean(enc4, axis=(1, 2), keepdims=True)
+    pooled, new_state["aspp_pool"] = _cbr_apply(params["aspp_pool"], state["aspp_pool"], pooled, train)
+    branches.append(jnp.broadcast_to(pooled, branches[0].shape))
+
+    aspp, new_state["aspp_proj"] = _cbr_apply(
+        params["aspp_proj"], state["aspp_proj"], jnp.concatenate(branches, axis=-1), train
+    )
+
+    # Decoder: 4x up to enc1 resolution, fuse low-level features.
+    low, new_state["lowlevel"] = _cbr_apply(params["lowlevel"], state["lowlevel"], enc1, train)
+    up = _resize_bilinear(aspp, low.shape[1], low.shape[2])
+
+    out = jnp.concatenate([up, low], axis=-1)
+    out, new_state["dec1"] = _cbr_apply(params["dec1"], state["dec1"], out, train)
+    out, new_state["dec2"] = _cbr_apply(params["dec2"], state["dec2"], out, train)
+
+    logits = conv_apply({"w": params["final"]["w"]}, out, stride=1) + params["final"]["b"].astype(out.dtype)
+    return _resize_bilinear(logits, h, w), new_state

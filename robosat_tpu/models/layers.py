@@ -42,13 +42,14 @@ def conv_init(rng, kh, kw, cin, cout):
     return {"w": he_normal(rng, (kh, kw, cin, cout))}
 
 
-def conv_apply(params, x, stride=1, padding="SAME"):
+def conv_apply(params, x, stride=1, padding="SAME", dilation=1):
     w = params["w"].astype(x.dtype)
     return lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=padding,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=CONV_DIMS,
     )
 

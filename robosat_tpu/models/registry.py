@@ -10,7 +10,7 @@ A model entry is a module-like object with:
   apply(params, state, x, train) -> (logits, new_state)
 """
 
-from robosat_tpu.models import unet
+from robosat_tpu.models import deeplab, unet
 
 _REGISTRY = {}
 
@@ -29,3 +29,4 @@ def get_model(name="unet"):
 
 
 register_model("unet", unet)
+register_model("deeplabv3plus", deeplab)

@@ -36,12 +36,12 @@ def _bottleneck_init(rng, cin, mid, stride):
     return params, state
 
 
-def _bottleneck_apply(params, state, x, stride, train):
+def _bottleneck_apply(params, state, x, stride, train, dilation=1):
     new_state = {}
     out = conv_apply(params["conv1"], x, stride=1)
     out, new_state["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train)
     out = jax.nn.relu(out)
-    out = conv_apply(params["conv2"], out, stride=stride)
+    out = conv_apply(params["conv2"], out, stride=stride, dilation=dilation)
     out, new_state["bn2"] = bn_apply(params["bn2"], state["bn2"], out, train)
     out = jax.nn.relu(out)
     out = conv_apply(params["conv3"], out, stride=1)
@@ -82,11 +82,14 @@ def init(rng, in_channels=3):
     return params, state
 
 
-def apply(params, state, x, train=False):
+def apply(params, state, x, train=False, dilate_last_stage=False):
     """Run the encoder; returns ((enc1, enc2, enc3, enc4), new_state).
 
     enc1..enc4 are the four stage outputs (256/512/1024/2048 channels at
     1/4..1/32 resolution) consumed as U-Net skips (robosat/unet.py:127-130).
+    With `dilate_last_stage`, layer4 keeps stride 1 and dilates its 3x3 convs
+    by 2 (output stride 16 — the DeepLab trick; note the stride-2 downsample
+    shortcut becomes stride 1, so converted torchvision weights still load).
     """
     new_state = {}
     out = conv_apply(params["conv1"], x, stride=2, padding=((3, 3), (3, 3)))
@@ -97,10 +100,12 @@ def apply(params, state, x, train=False):
     skips = []
     for si, (blocks, _) in enumerate(RESNET50_STAGES):
         name = "layer{}".format(si + 1)
+        last_dilated = dilate_last_stage and si == len(RESNET50_STAGES) - 1
         stage_state = []
         for bi in range(blocks):
-            stride = 2 if (bi == 0 and si > 0) else 1
-            out, bs = _bottleneck_apply(params[name][bi], state[name][bi], out, stride, train)
+            stride = 2 if (bi == 0 and si > 0 and not last_dilated) else 1
+            dilation = 2 if last_dilated else 1
+            out, bs = _bottleneck_apply(params[name][bi], state[name][bi], out, stride, train, dilation)
             stage_state.append(bs)
         new_state[name] = stage_state
         skips.append(out)

@@ -106,7 +106,7 @@ def load_image(path, mode="RGB"):
         return np.asarray(img.convert(mode))
 
 
-def adjacent_tile(tile, dx, dy, tiles):
+def adjacent_tile(tile, dx, dy, tiles, load=load_image):
     """Load the image of the tile at offset (dx, dy), or None if absent.
 
     Parity: robosat/tiles.py:139-159 (returns numpy HWC instead of PIL).
@@ -116,22 +116,23 @@ def adjacent_tile(tile, dx, dy, tiles):
         path = tiles[other]
     except KeyError:
         return None
-    return load_image(path)
+    return load(path)
 
 
-def buffer_tile_image(tile, tiles, overlap, tile_size, nodata=0):
+def buffer_tile_image(tile, tiles, overlap, tile_size, nodata=0, load=load_image):
     """Compose a tile with `overlap` pixels of context from its 3x3 neighborhood.
 
     Returns an HWC uint8 array of side `tile_size + 2 * overlap`; missing
     neighbors are filled with `nodata`. A single generic loop over the eight
     neighbor offsets replaces the reference's hand-unrolled stitching
-    (robosat/tiles.py:162-227) with identical output semantics.
+    (robosat/tiles.py:162-227) with identical output semantics. `load` lets
+    callers inject a caching decoder.
     """
     tiles = dict(tiles)
     o, s = overlap, tile_size
     side = s + 2 * o
 
-    center = load_image(tiles[Tile(int(tile.x), int(tile.y), int(tile.z))])
+    center = load(tiles[Tile(int(tile.x), int(tile.y), int(tile.z))])
     composite = np.full((side, side, center.shape[2]), nodata, dtype=np.uint8)
     composite[o : o + s, o : o + s] = center[:s, :s]
 
@@ -142,7 +143,7 @@ def buffer_tile_image(tile, tiles, overlap, tile_size, nodata=0):
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
-            neighbor = adjacent_tile(tile, dx, dy, tiles)
+            neighbor = adjacent_tile(tile, dx, dy, tiles, load=load)
             if neighbor is None:
                 continue
             # Destination strip in composite coordinates.

@@ -44,6 +44,7 @@ def add_parser(subparser):
     parser.add_argument("probs", type=str, help="directory to save slippy map probability masks to")
     parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
     parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
+    parser.add_argument("--profile", type=str, default=None, help="write a TensorBoard device trace to this directory")
 
     parser.set_defaults(func=main)
 
@@ -94,12 +95,21 @@ def main(args):
     loader = batches(directory, batch_size, workers=max(args.workers, 2))
     progress = tqdm(total=len(directory), desc="Eval", unit="tile", ascii=True)
 
+    import jax
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     for batch in loader:
         (images,) = batch.arrays
-        quantized = np.asarray(predict_step(params, state, images))
+        with jax.profiler.StepTraceAnnotation("predict_batch"):
+            quantized = np.asarray(predict_step(params, state, images))
         for tile, q in zip(batch.meta, quantized[: batch.valid]):
             pending.append(writers.submit(write_png, tile, q))
         progress.update(batch.valid)
+
+    if args.profile:
+        jax.profiler.stop_trace()
 
     for fut in pending:
         fut.result()

@@ -45,6 +45,7 @@ def add_parser(subparser):
     parser.add_argument("--checkpoint", type=str, required=False, help="path to a model checkpoint (to retrain)")
     parser.add_argument("--resume", type=bool, default=False, help="resume training or fine-tuning (if checkpoint)")
     parser.add_argument("--workers", type=int, default=0, help="number of workers pre-processing images")
+    parser.add_argument("--profile", type=str, default=None, help="write a TensorBoard device trace to this directory")
 
     parser.set_defaults(func=main)
 
@@ -138,6 +139,9 @@ def main(args):
 
     base_rng = jax.random.PRNGKey(model_config["common"].get("seed", 0))
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     for epoch in range(resume_epoch, num_epochs):
         log.log("Epoch: {}/{}".format(epoch + 1, num_epochs))
 
@@ -145,15 +149,18 @@ def main(args):
         metrics = Metrics(range(num_classes))
         running_loss, num_samples, step_idx = 0.0, 0, 0
         epoch_rng = jax.random.fold_in(base_rng, epoch)
+        num_train_batches = len(train_dataset) // batch_size
         for batch in tqdm(
-            list(batches(train_dataset, batch_size, shuffle=True, drop_last=True, workers=max(args.workers, 2), seed=epoch)),
+            batches(train_dataset, batch_size, shuffle=True, drop_last=True, workers=max(args.workers, 2), seed=epoch),
+            total=num_train_batches,
             desc="Train",
             unit="batch",
             ascii=True,
         ):
             images, masks = batch.arrays
             rng = jax.random.fold_in(epoch_rng, step_idx)
-            params, state, opt_state, loss, counts = train_step(params, state, opt_state, rng, images, masks)
+            with jax.profiler.StepTraceAnnotation("train_step", step_num=step_idx):
+                params, state, opt_state, loss, counts = train_step(params, state, opt_state, rng, images, masks)
             running_loss += float(loss)
             num_samples += batch.valid
             metrics.add_counts(np.asarray(counts))
@@ -181,7 +188,8 @@ def main(args):
         metrics = Metrics(range(num_classes))
         running_loss, num_samples = 0.0, 0
         for batch in tqdm(
-            list(batches(val_dataset, batch_size, drop_last=True, workers=max(args.workers, 2))),
+            batches(val_dataset, batch_size, drop_last=True, workers=max(args.workers, 2)),
+            total=len(val_dataset) // batch_size,
             desc="Validate",
             unit="batch",
             ascii=True,
@@ -219,3 +227,6 @@ def main(args):
             },
             meta={"epoch": epoch + 1},
         )
+
+    if args.profile:
+        jax.profiler.stop_trace()

@@ -127,6 +127,7 @@ def test_full_pipeline(workspace):
             checkpoint=None,
             resume=False,
             workers=2,
+            profile=None,
         )
     )
     ckpt = root / "checkpoints" / "checkpoint-00001-of-00001.npz"
@@ -144,6 +145,7 @@ def test_full_pipeline(workspace):
                 checkpoint=str(ckpt),
                 resume=True,
                 workers=2,
+                profile=None,
             )
         )
 
@@ -160,6 +162,7 @@ def test_full_pipeline(workspace):
             probs=str(root / "probs"),
             model=str(root / "model.toml"),
             dataset=str(root / "dataset.toml"),
+            profile=None,
         )
     )
     prob_png = root / "probs" / "18" / str(TILES[0].x) / "{}.png".format(TILES[0].y)
