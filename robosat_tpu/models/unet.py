@@ -74,10 +74,11 @@ def init(rng, num_classes, num_filters=NUM_FILTERS, in_channels=3):
     return params, state
 
 
-def apply(params, state, x, train=False):
-    """Forward pass. x: NHWC float (normalized). Returns (logits, new_state).
+def apply_features(params, state, x, train=False):
+    """Backbone + decoder up to dec5; returns (features, new_state).
 
-    Requires H and W divisible by 32 (robosat/unet.py:120).
+    Split out so the prediction path can fuse the final 1x1 conv + softmax +
+    quantize into one Pallas kernel (robosat_tpu.ops.pallas_head).
     """
     n, h, w, c = x.shape
     assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
@@ -92,6 +93,14 @@ def apply(params, state, x, train=False):
     dec3 = _decoder_apply(params["dec3"], jnp.concatenate([enc1, dec2], axis=-1))
     dec4 = _decoder_apply(params["dec4"], dec3)
     dec5 = _convrelu_apply(params["dec5"], dec4)
+    return dec5, {"encoder": enc_state}
 
+
+def apply(params, state, x, train=False):
+    """Forward pass. x: NHWC float (normalized). Returns (logits, new_state).
+
+    Requires H and W divisible by 32 (robosat/unet.py:120).
+    """
+    dec5, new_state = apply_features(params, state, x, train)
     logits = conv_apply({"w": params["final"]["w"]}, dec5, stride=1) + params["final"]["b"].astype(dec5.dtype)
-    return logits, {"encoder": enc_state}
+    return logits, new_state

@@ -1,0 +1,89 @@
+"""Pallas TPU kernel: fused prediction head.
+
+Fuses the tail of the predict program — final 1x1 conv (32 -> 2 classes),
+binary softmax, 256-bin digitize, and the overlap crop — into one kernel.
+The XLA version materializes fp32 logits (N, S, S, 2) in HBM between the conv
+and the softmax; here the 32-channel feature block is read once, the 1x1 conv
+runs as a (pixels, 32) x (32, 2) matmul on the MXU, the binary softmax
+collapses to a sigmoid of the logit margin on the VPU, and one uint8 per
+pixel is written back — cutting the head's HBM traffic ~9x.
+
+Digitize parity: q = searchsorted(anchors, p, side='right') with the 256
+np.linspace anchors (robosat/tools/predict.py:102-103, including the p == 1.0
+uint8 wraparound) — computed gather-free as 1 + sum_k(p >= anchor_k) via a
+broadcast compare, bit-identical to the jnp path in robosat_tpu.ops.quantize.
+
+Tests run the kernel in interpreter mode on CPU; on a TPU backend it compiles
+through Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from robosat_tpu.ops.quantize import ANCHORS
+
+BLOCK_ROWS = 8
+
+
+def _head_kernel(feat_ref, w_ref, b_ref, anchors_ref, out_ref):
+    feats = feat_ref[0].astype(jnp.float32)  # (block_rows, S, 32)
+    rows, cols, cin = feats.shape
+    w = w_ref[...].astype(jnp.float32)  # (32, 2)
+    b = b_ref[...].astype(jnp.float32)  # (1, 2)
+
+    logits = jnp.dot(feats.reshape(rows * cols, cin), w, preferred_element_type=jnp.float32) + b
+    # Binary softmax foreground probability == sigmoid of the logit margin.
+    p_fg = jax.nn.sigmoid(logits[:, 1] - logits[:, 0])  # (rows*cols,)
+
+    # digitize right-rule: q = 1 + #(anchors[1:] <= p); anchors[0] = 0 <= p
+    # always. Broadcast compare against the exact anchor values (gather-free).
+    anchors = anchors_ref[...]  # (1, 256)
+    ge = (p_fg[:, None] >= anchors).astype(jnp.int32)  # (rows*cols, 256)
+    q = jnp.sum(ge, axis=1)  # == searchsorted(anchors, p, 'right')
+
+    out_ref[0] = q.astype(jnp.uint8).reshape(rows, cols)
+
+
+def fused_prediction_head(features, w, b, overlap=0):
+    """dec5 features (N, S, S, 32) -> quantized fg uint8 (N, S-2o, S-2o).
+
+    Args:
+      features: final decoder activations (any float dtype).
+      w: final conv kernel (1, 1, 32, 2) or (32, 2).
+      b: final conv bias (2,).
+      overlap: border pixels to crop from each side of the output.
+    """
+    n, s, s2, cin = features.shape
+    assert s == s2, "square tiles"
+    w2 = jnp.asarray(w).reshape(cin, -1)
+    assert w2.shape[1] == 2, "fused head requires a binary model"
+    b2 = jnp.asarray(b).reshape(1, 2)
+    anchors = jnp.asarray(ANCHORS, jnp.float32).reshape(1, 256)
+
+    block_rows = BLOCK_ROWS if s % BLOCK_ROWS == 0 else s
+
+    quantized = pl.pallas_call(
+        _head_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, s, s), jnp.uint8),
+        grid=(n, s // block_rows),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, s, cin), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((cin, 2), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 256), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, s), lambda i, j: (i, j, 0)),
+        interpret=_should_interpret(),
+    )(features, w2, b2, anchors)
+
+    if overlap:
+        quantized = quantized[:, overlap:-overlap, overlap:-overlap]
+    return quantized
+
+
+def _should_interpret():
+    """Pallas compiles for TPU only; interpret elsewhere (tests run on CPU)."""
+    return jax.default_backend() != "tpu"

@@ -26,11 +26,22 @@ from robosat_tpu.ops.quantize import softmax_quantize
 from robosat_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32):
-    """Compiled prediction: raw uint8 NHWC -> quantized fg uint8 N(H-2o)(W-2o)."""
+def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, pallas_head=False):
+    """Compiled prediction: raw uint8 NHWC -> quantized fg uint8 N(H-2o)(W-2o).
+
+    With `pallas_head` (models exposing `apply_features`), the final 1x1 conv
+    + softmax + digitize + crop run as one Pallas kernel instead of separate
+    XLA ops (robosat_tpu.ops.pallas_head).
+    """
+    use_pallas = pallas_head and hasattr(model, "apply_features")
 
     def step(params, state, raw):
         x = normalize(raw).astype(compute_dtype)
+        if use_pallas:
+            from robosat_tpu.ops.pallas_head import fused_prediction_head
+
+            features, _ = model.apply_features(params, state, x, train=False)
+            return fused_prediction_head(features, params["final"]["w"], params["final"]["b"], overlap=overlap)
         logits, _ = model.apply(params, state, x, train=False)
         quantized = softmax_quantize(logits)
         if overlap:

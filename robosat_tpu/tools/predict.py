@@ -76,7 +76,13 @@ def main(args):
     batch_size = -(-args.batch_size // len(devices)) * len(devices)
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
-    predict_step = make_predict_step(model, mesh=mesh, overlap=args.overlap, compute_dtype=compute_dtype)
+    predict_step = make_predict_step(
+        model,
+        mesh=mesh,
+        overlap=args.overlap,
+        compute_dtype=compute_dtype,
+        pallas_head=model_config["common"].get("pallas_head", False),
+    )
     params = replicate(mesh, params)
     state = replicate(mesh, state)
 
