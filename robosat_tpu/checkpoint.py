@@ -12,6 +12,7 @@ ImageNet-pretrained weights when a .pth file is supplied.
 """
 
 import json
+import os
 
 import numpy as np
 
@@ -49,12 +50,21 @@ def _unflatten(flat):
 
 
 def save_checkpoint(path, trees, meta=None):
-    """Save named pytrees (e.g. {"params": ..., "opt_state": ...}) to `path`."""
+    """Save named pytrees (e.g. {"params": ..., "opt_state": ...}) to `path`.
+
+    The write is atomic (tmp file + rename) so an interrupted run never
+    leaves a truncated checkpoint behind.
+    """
     flat = {}
     for name, tree in trees.items():
         _flatten(tree, (name,), flat)
     flat[_META_KEY] = np.frombuffer(json.dumps(meta or {}).encode(), dtype=np.uint8)
-    np.savez(path, **flat)
+
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):

@@ -9,7 +9,6 @@ Layout: NHWC activations, HWIO conv kernels — the TPU-native layout (channels
 in the minormost, 128-lane dimension).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

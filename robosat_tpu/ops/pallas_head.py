@@ -19,9 +19,7 @@ through Mosaic.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from robosat_tpu.ops.quantize import ANCHORS
 

@@ -14,8 +14,6 @@ All steps take raw uint8 batches; normalization/augmentation trace into the
 graph so the host pipeline stays decode-only.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -74,15 +72,25 @@ def make_segment_step(model, mesh=None, compute_dtype=jnp.float32):
     )
 
 
-def make_train_step(model, loss_fn, optimizer, weight=None, mesh=None, compute_dtype=jnp.float32, augment=True):
+def make_train_step(
+    model, loss_fn, optimizer, weight=None, mesh=None, compute_dtype=jnp.float32, augment=True, remat=False
+):
     """Compiled training step.
 
     Returns step(params, state, opt_state, rng, images_u8, masks) ->
     (params, state, opt_state, loss, counts).
+
+    `remat` rematerializes the forward during the backward pass
+    (jax.checkpoint), trading ~33% more FLOPs for not keeping every decoder
+    activation live in HBM — this is what makes batch-64 512px training fit
+    a single chip's 16 GB.
     """
+    forward = model.apply
+    if remat:
+        forward = jax.checkpoint(forward, static_argnums=(3,))
 
     def loss_and_aux(params, state, x, masks):
-        logits, new_state = model.apply(params, state, x, train=True)
+        logits, new_state = forward(params, state, x, True)
         loss = loss_fn(logits.astype(jnp.float32), masks, weight)
         return loss, (new_state, logits)
 

@@ -14,11 +14,12 @@ from PIL import Image
 from tqdm import tqdm
 
 from robosat_tpu.config import load_config
+from robosat_tpu.features.building import BuildingHandler
 from robosat_tpu.features.parking import ParkingHandler
 from robosat_tpu.ops.morphology import denoise_grow
 from robosat_tpu.tiles import tiles_from_slippy_map
 
-handlers = {"parking": ParkingHandler}
+handlers = {"parking": ParkingHandler, "building": BuildingHandler}
 
 
 def add_parser(subparser):

@@ -14,7 +14,7 @@ from tqdm import tqdm
 
 from robosat_tpu.geo import geojson
 from robosat_tpu.geo.buffer import buffer_geometry
-from robosat_tpu.geo.geometry import MultiPolygon, Polygon, geometries_intersect, mapping, orient_polygon, shape
+from robosat_tpu.geo.geometry import MultiPolygon, geometries_intersect, mapping, orient_polygon, shape
 from robosat_tpu.graph import UndirectedGraph
 from robosat_tpu.spatial.core import make_index, project_ea, project_el_wgs, project_wgs_el, union
 

@@ -108,7 +108,15 @@ def main(args):
     image_size = model_config["common"]["image_size"]
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
-    train_step = make_train_step(model, loss_fn, optimizer, weight=weight, mesh=mesh, compute_dtype=compute_dtype)
+    train_step = make_train_step(
+        model,
+        loss_fn,
+        optimizer,
+        weight=weight,
+        mesh=mesh,
+        compute_dtype=compute_dtype,
+        remat=model_config["common"].get("remat", False),
+    )
     eval_step = make_eval_step(model, loss_fn, weight=weight, mesh=mesh, compute_dtype=compute_dtype)
 
     params = replicate(mesh, params)
