@@ -91,6 +91,29 @@ def bn_apply(params, state, x, train, momentum=0.1, eps=1e-5):
     return y.astype(x.dtype), new_state
 
 
+def fold_conv_bn(conv_params, bn_params, bn_state, eps=1e-5):
+    """Fold an inference-mode batch norm into the preceding conv.
+
+    conv -> BN(affine with frozen stats) == conv with per-output-channel
+    rescaled weights plus a bias:
+
+      W' = W * scale / sqrt(var + eps)      b' = bias - mean * scale / sqrt(..)
+
+    Removes every BN elementwise pass from the prediction graph — the eval
+    path becomes pure conv(+bias)+relu chains, cutting HBM round trips. Uses
+    jnp so it works both on host arrays and traced inside the jitted step
+    (the per-step folding cost is one pass over the weights, ~0.4 ms).
+    """
+    inv = jnp.asarray(bn_params["scale"]) * lax.rsqrt(jnp.asarray(bn_state["var"], jnp.float32) + eps)
+    w = jnp.asarray(conv_params["w"]) * inv  # broadcast over HWIO's O axis
+    b = jnp.asarray(bn_params["bias"]) - jnp.asarray(bn_state["mean"]) * inv
+    return {"w": w.astype(jnp.float32), "b": b.astype(jnp.float32)}
+
+
+def conv_bias_apply(params, x, stride=1, padding="SAME", dilation=1):
+    return conv_apply(params, x, stride=stride, padding=padding, dilation=dilation) + params["b"].astype(x.dtype)
+
+
 def max_pool(x, window, stride, padding):
     """Max pooling; `padding` is an int applied symmetrically to H and W."""
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))

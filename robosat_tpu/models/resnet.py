@@ -13,7 +13,16 @@ when available.
 
 import jax
 
-from robosat_tpu.models.layers import bn_apply, bn_init, conv_apply, conv_init, init_rng, max_pool
+from robosat_tpu.models.layers import (
+    bn_apply,
+    bn_init,
+    conv_apply,
+    conv_bias_apply,
+    conv_init,
+    fold_conv_bn,
+    init_rng,
+    max_pool,
+)
 
 # (blocks, mid_channels) per stage; expansion 4 => stage outputs 256/512/1024/2048.
 RESNET50_STAGES = ((3, 64), (4, 128), (6, 256), (3, 512))
@@ -80,6 +89,51 @@ def init(rng, in_channels=3):
         state["layer{}".format(si + 1)] = stage_s
 
     return params, state
+
+
+def fold(params, state):
+    """Fold every BN into its conv for inference; returns folded params."""
+    folded = {"conv1": fold_conv_bn(params["conv1"], params["bn1"], state["bn1"])}
+    for si, (blocks, _) in enumerate(RESNET50_STAGES):
+        name = "layer{}".format(si + 1)
+        stage = []
+        for bi in range(blocks):
+            bp, bs = params[name][bi], state[name][bi]
+            fb = {
+                "conv1": fold_conv_bn(bp["conv1"], bp["bn1"], bs["bn1"]),
+                "conv2": fold_conv_bn(bp["conv2"], bp["bn2"], bs["bn2"]),
+                "conv3": fold_conv_bn(bp["conv3"], bp["bn3"], bs["bn3"]),
+            }
+            if "down_conv" in bp:
+                fb["down_conv"] = fold_conv_bn(bp["down_conv"], bp["down_bn"], bs["down_bn"])
+            stage.append(fb)
+        folded[name] = stage
+    return folded
+
+
+def _bottleneck_apply_folded(params, x, stride, dilation=1):
+    out = jax.nn.relu(conv_bias_apply(params["conv1"], x, stride=1))
+    out = jax.nn.relu(conv_bias_apply(params["conv2"], out, stride=stride, dilation=dilation))
+    out = conv_bias_apply(params["conv3"], out, stride=1)
+    shortcut = conv_bias_apply(params["down_conv"], x, stride=stride) if "down_conv" in params else x
+    return jax.nn.relu(out + shortcut)
+
+
+def apply_folded(folded, x, dilate_last_stage=False):
+    """Inference forward over BN-folded params; returns (enc1..enc4)."""
+    out = jax.nn.relu(conv_bias_apply(folded["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
+    out = max_pool(out, window=3, stride=2, padding=1)
+
+    skips = []
+    for si, (blocks, _) in enumerate(RESNET50_STAGES):
+        name = "layer{}".format(si + 1)
+        last_dilated = dilate_last_stage and si == len(RESNET50_STAGES) - 1
+        for bi in range(blocks):
+            stride = 2 if (bi == 0 and si > 0 and not last_dilated) else 1
+            dilation = 2 if last_dilated else 1
+            out = _bottleneck_apply_folded(folded[name][bi], out, stride, dilation)
+        skips.append(out)
+    return tuple(skips)
 
 
 def apply(params, state, x, train=False, dilate_last_stage=False):

@@ -104,3 +104,34 @@ def apply(params, state, x, train=False):
     dec5, new_state = apply_features(params, state, x, train)
     logits = conv_apply({"w": params["final"]["w"]}, dec5, stride=1) + params["final"]["b"].astype(dec5.dtype)
     return logits, new_state
+
+
+def fold(params, state):
+    """Inference-folded params: encoder BNs folded into convs; the decoder has
+    no BN (robosat/unet.py:18-44), so its params pass through unchanged."""
+    folded = dict(params)
+    folded["encoder"] = resnet.fold(params["encoder"], state["encoder"])
+    return folded
+
+
+def apply_features_folded(folded, x):
+    """BN-free inference forward up to dec5 (pairs with the fused Pallas head)."""
+    n, h, w, c = x.shape
+    assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
+
+    enc1, enc2, enc3, enc4 = resnet.apply_folded(folded["encoder"], x)
+
+    center = _decoder_apply(folded["center"], max_pool(enc4, window=2, stride=2, padding=0))
+
+    dec0 = _decoder_apply(folded["dec0"], jnp.concatenate([enc4, center], axis=-1))
+    dec1 = _decoder_apply(folded["dec1"], jnp.concatenate([enc3, dec0], axis=-1))
+    dec2 = _decoder_apply(folded["dec2"], jnp.concatenate([enc2, dec1], axis=-1))
+    dec3 = _decoder_apply(folded["dec3"], jnp.concatenate([enc1, dec2], axis=-1))
+    dec4 = _decoder_apply(folded["dec4"], dec3)
+    return _convrelu_apply(folded["dec5"], dec4)
+
+
+def apply_folded(folded, x):
+    """BN-free inference forward; returns logits."""
+    dec5 = apply_features_folded(folded, x)
+    return conv_apply({"w": folded["final"]["w"]}, dec5, stride=1) + folded["final"]["b"].astype(dec5.dtype)

@@ -24,23 +24,40 @@ from robosat_tpu.ops.quantize import softmax_quantize
 from robosat_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, pallas_head=False):
+def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, pallas_head=False, fold_bn=True):
     """Compiled prediction: raw uint8 NHWC -> quantized fg uint8 N(H-2o)(W-2o).
 
-    With `pallas_head` (models exposing `apply_features`), the final 1x1 conv
-    + softmax + digitize + crop run as one Pallas kernel instead of separate
-    XLA ops (robosat_tpu.ops.pallas_head).
+    Inference optimizations (both preserve numerics to fp rounding):
+    - `fold_bn` (models exposing `fold`/`apply_folded`): every batch norm is
+      folded into its conv once on the host, removing ~53 elementwise passes
+      from the bandwidth-bound eval graph.
+    - `pallas_head` (models exposing `apply_features`): the final 1x1 conv +
+      softmax + digitize + crop run as one Pallas kernel
+      (robosat_tpu.ops.pallas_head).
+
+    The returned step takes (params, state, raw) regardless — folding happens
+    inside against the passed params so checkpoint reloads keep working.
     """
     use_pallas = pallas_head and hasattr(model, "apply_features")
+    use_fold = fold_bn and hasattr(model, "fold")
 
     def step(params, state, raw):
         x = normalize(raw).astype(compute_dtype)
-        if use_pallas:
+        if use_fold:
+            folded = model.fold(params, state)
+            if use_pallas:
+                from robosat_tpu.ops.pallas_head import fused_prediction_head
+
+                features = model.apply_features_folded(folded, x)
+                return fused_prediction_head(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
+            logits = model.apply_folded(folded, x)
+        elif use_pallas:
             from robosat_tpu.ops.pallas_head import fused_prediction_head
 
             features, _ = model.apply_features(params, state, x, train=False)
             return fused_prediction_head(features, params["final"]["w"], params["final"]["b"], overlap=overlap)
-        logits, _ = model.apply(params, state, x, train=False)
+        else:
+            logits, _ = model.apply(params, state, x, train=False)
         quantized = softmax_quantize(logits)
         if overlap:
             quantized = quantized[:, overlap:-overlap, overlap:-overlap]

@@ -76,12 +76,15 @@ def main(args):
     batch_size = -(-args.batch_size // len(devices)) * len(devices)
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
+    # The Pallas fused head defaults on: besides fusing softmax+digitize it
+    # avoids XLA padding the 2-channel 1x1-conv output to 128 lanes, which
+    # halves the predict program's HBM bytes (see ops/pallas_head.py).
     predict_step = make_predict_step(
         model,
         mesh=mesh,
         overlap=args.overlap,
         compute_dtype=compute_dtype,
-        pallas_head=model_config["common"].get("pallas_head", False),
+        pallas_head=model_config["common"].get("pallas_head", True),
     )
     params = replicate(mesh, params)
     state = replicate(mesh, state)
