@@ -35,7 +35,7 @@ def main():
 
     from robosat_tpu.models import unet
     from robosat_tpu.ops.augment import normalize
-    from robosat_tpu.ops.quantize import softmax_quantize
+    from robosat_tpu.ops.pallas_head import fused_prediction_head
 
     device = jax.devices()[0]
 
@@ -49,12 +49,14 @@ def main():
 
     @jax.jit
     def step(params, state, raw, salt):
-        # The salt (previous step's checksum) forces sequential execution of
-        # queued steps; adding salt * 1e-30 in fp32 is value-neutral after the
-        # bf16 round but cannot be dead-code-eliminated.
+        # The exact program `rs predict` ships: BN-folded forward + Pallas
+        # fused head. The salt (previous step's checksum) forces sequential
+        # execution of queued steps; adding salt * 1e-30 in fp32 is
+        # value-neutral after the bf16 round but cannot be eliminated.
         x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
-        logits, _ = unet.apply(params, state, x, train=False)
-        quantized = softmax_quantize(logits)[:, overlap:-overlap, overlap:-overlap]
+        folded = unet.fold(params, state)
+        features = unet.apply_features_folded(folded, x)
+        quantized = fused_prediction_head(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
         return jnp.sum(quantized.astype(jnp.int32))
 
     rng = np.random.default_rng(0)
