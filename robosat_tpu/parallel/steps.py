@@ -124,13 +124,16 @@ def make_train_step(
         counts = confusion_counts(logits, masks)
         return new_params, new_state, new_opt_state, loss, counts
 
+    # Donating params/state/opt_state lets XLA update them in place instead of
+    # allocating fresh buffers every step (~3x the model size in HBM churn).
     if mesh is None:
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(0, 1, 2))
     rep = replicated(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
         out_shardings=(rep, rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2),
     )
 
 
