@@ -119,3 +119,100 @@ class BufferedSlippyMapDirectory:
             return probs
         _, h, w = probs.shape
         return probs[:, o : h - o, o : w - o]
+
+
+class StripBufferedSlippyMapDirectory:
+    """Column strips of K vertically-consecutive tiles, buffered jointly.
+
+    The TPU-native upgrade of per-tile overlap buffering (SURVEY.md section 5
+    "long-context" analog): K tiles predict as ONE (K*size + 2*overlap) tall
+    image, so interior tiles share real context instead of re-computing
+    halos — compute overhead drops from (1+2o/s)^2 - 1 (~27% at 512/32) to
+    ~2o/(K*s) + 2o/s, and each device dispatch carries K tiles. Outputs are
+    bit-identical to per-tile buffering (convolutions are translation
+    invariant and the mosaic provides exactly the tiles that exist).
+
+    Items: (strip image HWC uint8, (column tiles list, valid count)).
+    """
+
+    def __init__(self, root, size=512, overlap=32, strip=8, cache_tiles=256):
+        assert overlap >= 0 and strip >= 1
+        assert size >= 32
+
+        self.size = size
+        self.overlap = overlap
+        self.strip = strip
+        self.tiles = list(tiles_from_slippy_map(root))
+        self._by_tile = dict(self.tiles)
+
+        self._cache = collections.OrderedDict()
+        self._cache_limit = cache_tiles
+        self._lock = threading.Lock()
+
+        # Runs of consecutive y within each (z, x) column, chunked to strips.
+        self.strips = []
+        by_column = collections.defaultdict(list)
+        for tile, _ in self.tiles:
+            by_column[(tile.z, tile.x)].append(tile.y)
+        for (z, x), ys in sorted(by_column.items()):
+            ys.sort()
+            run = [ys[0]]
+            for y in ys[1:]:
+                if y == run[-1] + 1:
+                    run.append(y)
+                else:
+                    self._chunk_run(z, x, run)
+                    run = [y]
+            self._chunk_run(z, x, run)
+
+    def _chunk_run(self, z, x, run):
+        from robosat_tpu.geo.tilemath import Tile
+
+        for start in range(0, len(run), self.strip):
+            chunk = run[start : start + self.strip]
+            self.strips.append([Tile(x, y, z) for y in chunk])
+
+    def __len__(self):
+        return len(self.strips)
+
+    def _load_cached(self, path):
+        with self._lock:
+            if path in self._cache:
+                self._cache.move_to_end(path)
+                return self._cache[path]
+        with Image.open(path) as img:
+            decoded = np.asarray(img.convert("RGB"))
+        with self._lock:
+            self._cache[path] = decoded
+            if len(self._cache) > self._cache_limit:
+                self._cache.popitem(last=False)
+        return decoded
+
+    def __getitem__(self, i):
+        from robosat_tpu.geo.tilemath import Tile
+
+        strip_tiles = self.strips[i]
+        k, s, o = self.strip, self.size, self.overlap
+        first = strip_tiles[0]
+        valid = len(strip_tiles)
+
+        composite = np.zeros((k * s + 2 * o, s + 2 * o, 3), dtype=np.uint8)
+        # All tiles overlapping the buffered strip window.
+        for ty in range(first.y - 1, first.y + valid + 1):
+            for tx in (first.x - 1, first.x, first.x + 1):
+                path = self._by_tile.get(Tile(tx, ty, first.z))
+                if path is None:
+                    continue
+                img = self._load_cached(path)[:s, :s]
+                # Tile origin in composite coordinates.
+                oy = o + (ty - first.y) * s
+                ox = o + (tx - first.x) * s
+                dst_y0, dst_y1 = max(oy, 0), min(oy + s, composite.shape[0])
+                dst_x0, dst_x1 = max(ox, 0), min(ox + s, composite.shape[1])
+                if dst_y0 >= dst_y1 or dst_x0 >= dst_x1:
+                    continue
+                composite[dst_y0:dst_y1, dst_x0:dst_x1] = img[
+                    dst_y0 - oy : dst_y1 - oy, dst_x0 - ox : dst_x1 - ox
+                ]
+
+        return composite, (strip_tiles, valid)

@@ -54,26 +54,25 @@ def fused_prediction_head(features, w, b, overlap=0):
       b: final conv bias (2,).
       overlap: border pixels to crop from each side of the output.
     """
-    n, s, s2, cin = features.shape
-    assert s == s2, "square tiles"
+    n, height, width, cin = features.shape
     w2 = jnp.asarray(w).reshape(cin, -1)
     assert w2.shape[1] == 2, "fused head requires a binary model"
     b2 = jnp.asarray(b).reshape(1, 2)
     anchors = jnp.asarray(ANCHORS, jnp.float32).reshape(1, 256)
 
-    block_rows = BLOCK_ROWS if s % BLOCK_ROWS == 0 else s
+    block_rows = BLOCK_ROWS if height % BLOCK_ROWS == 0 else height
 
     quantized = pl.pallas_call(
         _head_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, s, s), jnp.uint8),
-        grid=(n, s // block_rows),
+        out_shape=jax.ShapeDtypeStruct((n, height, width), jnp.uint8),
+        grid=(n, height // block_rows),
         in_specs=[
-            pl.BlockSpec((1, block_rows, s, cin), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, block_rows, width, cin), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((cin, 2), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 256), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_rows, s), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_rows, width), lambda i, j: (i, j, 0)),
         interpret=_should_interpret(),
     )(features, w2, b2, anchors)
 

@@ -23,7 +23,7 @@ from tqdm import tqdm
 from robosat_tpu.checkpoint import load_model_checkpoint
 from robosat_tpu.colors import continuous_palette_for_color
 from robosat_tpu.config import load_config
-from robosat_tpu.data.datasets import BufferedSlippyMapDirectory
+from robosat_tpu.data.datasets import BufferedSlippyMapDirectory, StripBufferedSlippyMapDirectory
 from robosat_tpu.data.loader import batches
 from robosat_tpu.device import configure_accelerator
 
@@ -38,6 +38,12 @@ def add_parser(subparser):
     parser.add_argument("--batch_size", type=int, default=1, help="images per batch")
     parser.add_argument("--checkpoint", type=str, required=True, help="model checkpoint to load")
     parser.add_argument("--overlap", type=int, default=32, help="tile pixel overlap to predict on")
+    parser.add_argument(
+        "--strip",
+        type=int,
+        default=1,
+        help="predict this many vertically-consecutive tiles as one image (less halo re-compute)",
+    )
     parser.add_argument("--tile_size", type=int, required=True, help="tile size for slippy map tiles")
     parser.add_argument("--workers", type=int, default=0, help="number of workers pre-processing images")
     parser.add_argument("tiles", type=str, help="directory to read slippy map image tiles from")
@@ -67,13 +73,23 @@ def main(args):
     model = get_model(model_config["common"].get("model", "unet"))
     params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
 
-    directory = BufferedSlippyMapDirectory(args.tiles, size=args.tile_size, overlap=args.overlap)
+    if args.strip > 1:
+        directory = StripBufferedSlippyMapDirectory(
+            args.tiles, size=args.tile_size, overlap=args.overlap, strip=args.strip
+        )
+        total_tiles = sum(len(s) for s in directory.strips)
+    else:
+        directory = BufferedSlippyMapDirectory(args.tiles, size=args.tile_size, overlap=args.overlap)
+        total_tiles = len(directory)
     assert len(directory) > 0, "at least one tile in dataset"
 
     # Round the batch up to a multiple of the mesh size so the batch axis
-    # shards evenly; padded rows are masked out by Batch.valid.
+    # shards evenly; padded rows are masked out by Batch.valid. With strips
+    # the batch counts strips, each carrying --strip tiles.
     mesh = create_mesh(devices)
-    batch_size = -(-args.batch_size // len(devices)) * len(devices)
+    per_item = max(args.strip, 1)
+    batch_items = max(args.batch_size // per_item, 1)
+    batch_size = -(-batch_items // len(devices)) * len(devices)
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
     # The Pallas fused head defaults on: besides fusing softmax+digitize it
@@ -102,20 +118,27 @@ def main(args):
         out.save(path, optimize=True)
 
     loader = batches(directory, batch_size, workers=max(args.workers, 2))
-    progress = tqdm(total=len(directory), desc="Eval", unit="tile", ascii=True)
+    progress = tqdm(total=total_tiles, desc="Eval", unit="tile", ascii=True)
 
     import jax
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
+    size = args.tile_size
     for batch in loader:
         (images,) = batch.arrays
         with jax.profiler.StepTraceAnnotation("predict_batch"):
             quantized = np.asarray(predict_step(params, state, images))
-        for tile, q in zip(batch.meta, quantized[: batch.valid]):
-            pending.append(writers.submit(write_png, tile, q))
-        progress.update(batch.valid)
+        for meta, q in zip(batch.meta, quantized[: batch.valid]):
+            if args.strip > 1:
+                strip_tiles, valid = meta
+                for i, tile in enumerate(strip_tiles[:valid]):
+                    pending.append(writers.submit(write_png, tile, q[i * size : (i + 1) * size]))
+                progress.update(valid)
+            else:
+                pending.append(writers.submit(write_png, meta, q))
+                progress.update(1)
 
     if args.profile:
         jax.profiler.stop_trace()

@@ -288,3 +288,40 @@ def test_extract_from_osm_xml(tmp_path):
     assert len(collection["features"]) == 1  # way 101 filtered, 102 not closed
     ring = collection["features"][0]["geometry"]["coordinates"][0]
     assert ring[0] == ring[-1]
+
+
+def test_train_resume_continues_epochs(workspace):
+    """--checkpoint + --resume restores the optimizer/epoch and continues:
+    raising epochs to 2 and resuming from epoch 1 trains exactly epoch 2."""
+    import argparse
+
+    from robosat_tpu.config import save_config
+    from robosat_tpu.tools import train
+
+    root = workspace
+    ckpt1 = root / "checkpoints" / "checkpoint-00001-of-00001.npz"
+    assert ckpt1.exists(), "runs after test_full_pipeline"
+
+    save_config(
+        {
+            "common": {"cuda": False, "batch_size": 2, "image_size": SIZE, "checkpoint": str(root / "checkpoints")},
+            "opt": {"epochs": 2, "lr": 0.0001, "loss": "Lovasz"},
+        },
+        str(root / "model2.toml"),
+    )
+
+    train.main(
+        argparse.Namespace(
+            model=str(root / "model2.toml"),
+            dataset=str(root / "dataset.toml"),
+            checkpoint=str(ckpt1),
+            resume=True,
+            workers=2,
+            profile=None,
+        )
+    )
+
+    assert (root / "checkpoints" / "checkpoint-00002-of-00002.npz").exists()
+    # Only epoch 2 ran in the resumed session.
+    log_text = (root / "checkpoints" / "log").read_text()
+    assert "Epoch: 2/2" in log_text
