@@ -156,6 +156,7 @@ def test_full_pipeline(workspace):
             batch_size=4,
             checkpoint=str(ckpt),
             overlap=32,
+            strip=1,
             tile_size=SIZE,
             workers=2,
             tiles=str(root / "images"),
