@@ -10,8 +10,15 @@ pixel is written back — cutting the head's HBM traffic ~9x.
 
 Digitize parity: q = searchsorted(anchors, p, side='right') with the 256
 np.linspace anchors (robosat/tools/predict.py:102-103, including the p == 1.0
-uint8 wraparound) — computed gather-free as 1 + sum_k(p >= anchor_k) via a
-broadcast compare, bit-identical to the jnp path in robosat_tpu.ops.quantize.
+uint8 wraparound). The fp32 cast of those anchors is bitwise-equal to
+k / 255.0f for every k (verified), so the kernel needs no anchor table: with
+k = round(p * 255) the right-rule index can only be k-1, k, or k+1, and
+three exact comparisons pin it:
+
+  q = (k - 1) + [a(k-1) <= p] + [a(k) <= p] + [a(k+1) <= p],  a(k) = k/255.0f
+
+(bounds need no special casing: a(-1) < 0 <= p always, a(256) > 1 >= p never).
+Bit-identical to the jnp searchsorted path in robosat_tpu.ops.quantize.
 
 Tests run the kernel in interpreter mode on CPU; on a TPU backend it compiles
 through Mosaic.
@@ -21,12 +28,21 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from robosat_tpu.ops.quantize import ANCHORS
-
 BLOCK_ROWS = 8
 
 
-def _head_kernel(feat_ref, w_ref, b_ref, anchors_ref, out_ref):
+def _digitize_exact(p):
+    k = jnp.round(p * 255.0).astype(jnp.int32)
+    kf = k.astype(jnp.float32)
+
+    def a(off):
+        return (kf + off) / jnp.float32(255.0)
+
+    q = (k - 1) + (a(-1.0) <= p).astype(jnp.int32) + (a(0.0) <= p).astype(jnp.int32) + (a(1.0) <= p).astype(jnp.int32)
+    return q
+
+
+def _head_kernel(feat_ref, w_ref, b_ref, out_ref):
     feats = feat_ref[0].astype(jnp.float32)  # (block_rows, S, 32)
     rows, cols, cin = feats.shape
     w = w_ref[...].astype(jnp.float32)  # (32, 2)
@@ -36,12 +52,7 @@ def _head_kernel(feat_ref, w_ref, b_ref, anchors_ref, out_ref):
     # Binary softmax foreground probability == sigmoid of the logit margin.
     p_fg = jax.nn.sigmoid(logits[:, 1] - logits[:, 0])  # (rows*cols,)
 
-    # digitize right-rule: q = 1 + #(anchors[1:] <= p); anchors[0] = 0 <= p
-    # always. Broadcast compare against the exact anchor values (gather-free).
-    anchors = anchors_ref[...]  # (1, 256)
-    ge = (p_fg[:, None] >= anchors).astype(jnp.int32)  # (rows*cols, 256)
-    q = jnp.sum(ge, axis=1)  # == searchsorted(anchors, p, 'right')
-
+    q = _digitize_exact(p_fg)
     out_ref[0] = q.astype(jnp.uint8).reshape(rows, cols)
 
 
@@ -58,7 +69,6 @@ def fused_prediction_head(features, w, b, overlap=0):
     w2 = jnp.asarray(w).reshape(cin, -1)
     assert w2.shape[1] == 2, "fused head requires a binary model"
     b2 = jnp.asarray(b).reshape(1, 2)
-    anchors = jnp.asarray(ANCHORS, jnp.float32).reshape(1, 256)
 
     block_rows = BLOCK_ROWS if height % BLOCK_ROWS == 0 else height
 
@@ -70,11 +80,10 @@ def fused_prediction_head(features, w, b, overlap=0):
             pl.BlockSpec((1, block_rows, width, cin), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((cin, 2), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, 256), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_rows, width), lambda i, j: (i, j, 0)),
         interpret=_should_interpret(),
-    )(features, w2, b2, anchors)
+    )(features, w2, b2)
 
     if overlap:
         quantized = quantized[:, overlap:-overlap, overlap:-overlap]
