@@ -70,7 +70,16 @@ def fused_prediction_head(features, w, b, overlap=0):
     assert w2.shape[1] == 2, "fused head requires a binary model"
     b2 = jnp.asarray(b).reshape(1, 2)
 
-    block_rows = BLOCK_ROWS if height % BLOCK_ROWS == 0 else height
+    # Cap the block's pixel count (~8 rows x 576 cols worth) so wide inputs
+    # (strip mode) stay within scoped VMEM: largest divisor of height that
+    # keeps rows*width under budget, else fall back to one row per block.
+    budget = BLOCK_ROWS * 576
+    target = max(1, min(BLOCK_ROWS, budget // width))
+    block_rows = 1
+    for rows in range(target, 0, -1):
+        if height % rows == 0:
+            block_rows = rows
+            break
 
     quantized = pl.pallas_call(
         _head_kernel,
