@@ -30,7 +30,15 @@ def _timed(fn, *args):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compile cache: tunnel compiles run minutes; cache them.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     from robosat_tpu.models import unet
