@@ -1,7 +1,7 @@
 """Append-only file logging with optional console echo.
 
-Parity: robosat/log.py:8-27 (same artifact: a line-per-message text file,
-flushed per line, echoed to stdout).
+Same artifact as the reference (robosat/log.py): a line-per-message text
+file, flushed after every line so tails stay live, echoed to stdout.
 """
 
 import os
@@ -14,12 +14,17 @@ class Log:
         self.fp = open(path, "a")
 
     def log(self, msg):
-        self.fp.write(msg + os.linesep)
-        self.fp.flush()
-        if self.out:
+        print(msg, end=os.linesep, file=self.fp, flush=True)
+        if self.out is not None:
             print(msg, file=self.out)
 
     def close(self):
-        if self.fp:
+        if self.fp is not None:
             self.fp.close()
             self.fp = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

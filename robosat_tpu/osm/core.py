@@ -1,7 +1,7 @@
-"""Shared OSM extraction helpers: batched feature storage and way predicates.
+"""Shared OSM extraction plumbing: chunked feature output, way predicates.
 
-Contract parity: robosat/osm/core.py (chunked `out-<uuid>.geojson` files,
-closed->=4-node polygon predicate).
+Contract parity: robosat/osm/core.py (uniquely-suffixed `out-<hex>.geojson`
+chunks; a polygon way is closed with >= 4 nodes counting the repeat).
 """
 
 import os
@@ -11,9 +11,9 @@ from robosat_tpu.geo import geojson
 
 
 class FeatureStorage:
-    """Buffers GeoJSON features and flushes them in uniquely-named chunks.
+    """Accumulates GeoJSON features, spilling every `batch` to its own file.
 
-    Call `flush()` at the end for the final partial batch.
+    The final partial batch only reaches disk via an explicit `flush()`.
     """
 
     def __init__(self, out, batch):
@@ -31,19 +31,15 @@ class FeatureStorage:
         if not self.features:
             return
 
-        base, ext = os.path.splitext(self.out)
-        path = "{}-{}{}".format(base, uuid.uuid4().hex, ext)
-        with open(path, "w") as fp:
+        stem, suffix = os.path.splitext(self.out)
+        chunk_path = "{}-{}{}".format(stem, uuid.uuid4().hex, suffix)
+        with open(chunk_path, "w") as fp:
             geojson.dump(geojson.feature_collection(self.features), fp)
 
         self.features.clear()
 
 
 def is_polygon(way):
-    """True if a way is closed with at least four nodes (counting the
-    repeated closing node). Geometry may still be invalid (self-crossing)."""
-    if not way.is_closed():
-        return False
-    if len(way.nodes) < 4:
-        return False
-    return True
+    """A way can close into a polygon ring: closed, >= 4 nodes including the
+    repeated endpoint. (Geometric validity is checked separately.)"""
+    return way.is_closed() and len(way.nodes) >= 4

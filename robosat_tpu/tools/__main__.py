@@ -1,8 +1,7 @@
 """The `rs` command line: 15 subcommands composing via the filesystem.
 
-Same tool names, ordering, and flags as the reference CLI
-(robosat/tools/__main__.py:22-63). Each tool module exposes
-`add_parser(subparser)` and `main(args)`.
+Tool names and ordering follow the reference CLI (robosat/tools/__main__.py);
+each tool module contributes `add_parser(subparser)` + `main(args)`.
 """
 
 import argparse
@@ -25,32 +24,32 @@ from robosat_tpu.tools import (
     weights,
 )
 
+# Data prep -> ML -> post-processing -> serving -> utilities.
+TOOLS = (
+    extract,
+    cover,
+    download,
+    rasterize,
+    train,
+    export,
+    predict,
+    masks,
+    features,
+    merge,
+    dedupe,
+    serve,
+    weights,
+    compare,
+    subset,
+)
+
 
 def main():
     parser = argparse.ArgumentParser(prog="./rs")
     subparser = parser.add_subparsers(title="robosat-tpu tools", metavar="")
 
-    # Keep the reference's registration order (robosat/tools/__main__.py:28-46).
-    extract.add_parser(subparser)
-    cover.add_parser(subparser)
-    download.add_parser(subparser)
-    rasterize.add_parser(subparser)
-
-    train.add_parser(subparser)
-    export.add_parser(subparser)
-    predict.add_parser(subparser)
-
-    masks.add_parser(subparser)
-    features.add_parser(subparser)
-    merge.add_parser(subparser)
-    dedupe.add_parser(subparser)
-
-    serve.add_parser(subparser)
-
-    weights.add_parser(subparser)
-
-    compare.add_parser(subparser)
-    subset.add_parser(subparser)
+    for tool in TOOLS:
+        tool.add_parser(subparser)
 
     subparser.required = True
 

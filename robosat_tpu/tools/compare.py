@@ -1,7 +1,8 @@
-"""`rs compare` — side-by-side strips of image, label, and masks.
+"""`rs compare` — visual QA strips: imagery | label | mask(s) side by side.
 
-Contract parity: robosat/tools/compare.py (keep-filter by foreground-pixel
-percentage across any of the masks).
+Contract parity: robosat/tools/compare.py, including the keep-filter that
+drops tiles whose foreground share falls outside [minimum, maximum] in every
+mask.
 """
 
 import argparse
@@ -17,48 +18,57 @@ from robosat_tpu.tiles import tiles_from_slippy_map
 def add_parser(subparser):
     parser = subparser.add_parser(
         "compare",
-        help="compare images, labels and masks side by side",
+        help="renders imagery, label and masks side by side for QA",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("out", type=str, help="directory to save visualizations to")
-    parser.add_argument("images", type=str, help="directory to read slippy map images from")
-    parser.add_argument("labels", type=str, help="directory to read slippy map labels from")
-    parser.add_argument("masks", type=str, nargs="+", help="slippy map directories to read masks from")
-    parser.add_argument("--minimum", type=float, default=0.0, help="minimum percentage of mask not background")
-    parser.add_argument("--maximum", type=float, default=1.0, help="maximum percentage of mask not background")
+    parser.add_argument("out", type=str, help="slippy map directory for the comparison strips")
+    parser.add_argument("images", type=str, help="slippy map directory with imagery")
+    parser.add_argument("labels", type=str, help="slippy map directory with labels")
+    parser.add_argument("masks", type=str, nargs="+", help="slippy map directories with masks")
+    parser.add_argument("--minimum", type=float, default=0.0, help="keep tiles with at least this foreground share")
+    parser.add_argument("--maximum", type=float, default=1.0, help="keep tiles with at most this foreground share")
 
     parser.set_defaults(func=main)
 
 
+def _open_p(base, tile):
+    path = os.path.join(base, str(tile.z), str(tile.x), "{}.png".format(tile.y))
+    return Image.open(path).convert("P")
+
+
+def _foreground_share(mask):
+    arr = np.array(mask)
+    return np.count_nonzero(arr) / arr.size
+
+
+def _strip(panels):
+    width, height = panels[0].size
+    combined = Image.new(mode="RGB", size=(len(panels) * width, height))
+    for i, panel in enumerate(panels):
+        combined.paste(panel, box=(i * width, 0))
+    return combined
+
+
 def main(args):
     for tile, path in tqdm(list(tiles_from_slippy_map(args.images)), desc="Compare", unit="image", ascii=True):
-        x, y, z = map(str, tile)
-
         image = Image.open(path).convert("RGB")
-        label = Image.open(os.path.join(args.labels, z, x, "{}.png".format(y))).convert("P")
+        label = _open_p(args.labels, tile)
         assert image.size == label.size
 
+        mask_panels = []
         keep = False
-        masks = []
         for mask_dir in args.masks:
-            mask = Image.open(os.path.join(mask_dir, z, x, "{}.png".format(y))).convert("P")
+            mask = _open_p(mask_dir, tile)
             assert image.size == mask.size
-            masks.append(mask)
+            mask_panels.append(mask)
 
-            percentage = np.sum(np.array(mask) != 0) / np.prod(image.size)
-            if args.minimum <= percentage <= args.maximum:
+            if args.minimum <= _foreground_share(mask) <= args.maximum:
                 keep = True
 
         if not keep:
             continue
 
-        width, height = image.size
-        columns = 2 + len(masks)
-        combined = Image.new(mode="RGB", size=(columns * width, height))
-        combined.paste(image, box=(0, 0))
-        combined.paste(label, box=(width, 0))
-        for i, mask in enumerate(masks):
-            combined.paste(mask, box=((2 + i) * width, 0))
-
-        os.makedirs(os.path.join(args.out, z, x), exist_ok=True)
-        combined.save(os.path.join(args.out, z, x, "{}.png".format(y)), optimize=True)
+        combined = _strip([image, label] + mask_panels)
+        out_dir = os.path.join(args.out, str(tile.z), str(tile.x))
+        os.makedirs(out_dir, exist_ok=True)
+        combined.save(os.path.join(out_dir, "{}.png".format(tile.y)), optimize=True)

@@ -1,7 +1,7 @@
 """`rs cover` — CSV of all tiles covering a GeoJSON feature collection.
 
-Contract parity: robosat/tools/cover.py (tile cover per feature, set-deduped),
-using the in-repo tile covering instead of supermercado.
+Contract parity: robosat/tools/cover.py (per-feature tile cover, de-duplicated
+across features), using the in-repo tile covering instead of supermercado.
 """
 
 import argparse
@@ -16,25 +16,30 @@ from robosat_tpu.geo.raster import burn_tiles
 def add_parser(subparser):
     parser = subparser.add_parser(
         "cover",
-        help="generates tiles covering GeoJSON features",
+        help="lists the tiles covering GeoJSON features",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
 
     parser.add_argument("--zoom", type=int, required=True, help="zoom level of tiles")
-    parser.add_argument("features", type=str, help="path to GeoJSON features")
-    parser.add_argument("out", type=str, help="path to csv file to store tiles in")
+    parser.add_argument("features", type=str, help="GeoJSON features to cover")
+    parser.add_argument("out", type=str, help="csv file the covering tile ids are written to")
 
     parser.set_defaults(func=main)
 
 
-def main(args):
-    with open(args.features) as f:
-        collection = json.load(f)
+def cover(features, zoom):
+    """The de-duplicated set of (x, y, z) ids covering all features."""
+    covered = set()
+    for feature in tqdm(features, ascii=True, unit="feature"):
+        covered.update((t.x, t.y, t.z) for t in burn_tiles(feature, zoom))
+    return covered
 
-    tiles = set()
-    for feature in tqdm(collection["features"], ascii=True, unit="feature"):
-        tiles.update((t.x, t.y, t.z) for t in burn_tiles(feature, args.zoom))
+
+def main(args):
+    with open(args.features) as fp:
+        collection = json.load(fp)
+
+    rows = sorted(cover(collection["features"], args.zoom))
 
     with open(args.out, "w") as fp:
-        writer = csv.writer(fp)
-        writer.writerows(sorted(tiles))
+        csv.writer(fp).writerows(rows)

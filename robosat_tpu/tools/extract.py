@@ -1,8 +1,8 @@
-"""`rs extract` — GeoJSON features from an OpenStreetMap base map.
+"""`rs extract` — pull feature geometries out of an OpenStreetMap base map.
 
-Contract parity: robosat/tools/extract.py (parking/building/road handlers,
-chunked GeoJSON output). Reads .osm.pbf via the in-repo pure-Python PBF
-decoder instead of libosmium; .osm XML also works.
+Contract parity: robosat/tools/extract.py. The map streams through the
+in-repo pure-Python PBF decoder (robosat_tpu/osm/pbf.py) instead of
+libosmium; plain .osm XML extracts work too.
 """
 
 import argparse
@@ -11,21 +11,25 @@ from robosat_tpu.osm.building import BuildingHandler
 from robosat_tpu.osm.parking import ParkingHandler
 from robosat_tpu.osm.road import RoadHandler
 
-# Handlers need the osmium-style `way(w)` callback plus `flush()`.
-handlers = {"parking": ParkingHandler, "building": BuildingHandler, "road": RoadHandler}
+# A handler is an osmium-style `way(w)` callback plus `flush()`.
+handlers = {
+    "parking": ParkingHandler,
+    "building": BuildingHandler,
+    "road": RoadHandler,
+}
 
 
 def add_parser(subparser):
     parser = subparser.add_parser(
         "extract",
-        help="extracts GeoJSON features from OpenStreetMap",
+        help="turns OpenStreetMap features into GeoJSON",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
 
-    parser.add_argument("--type", type=str, required=True, choices=handlers.keys(), help="type of feature to extract")
-    parser.add_argument("--batch", type=int, default=100000, help="number of features to save per file")
-    parser.add_argument("map", type=str, help="path to .osm.pbf base map")
-    parser.add_argument("out", type=str, help="path to GeoJSON file to store features in")
+    parser.add_argument("--type", type=str, required=True, choices=handlers.keys(), help="feature type to extract")
+    parser.add_argument("--batch", type=int, default=100000, help="features per output file chunk")
+    parser.add_argument("map", type=str, help=".osm.pbf (or .osm XML) base map to read")
+    parser.add_argument("out", type=str, help="GeoJSON file path the chunks derive their names from")
 
     parser.set_defaults(func=main)
 

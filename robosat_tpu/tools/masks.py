@@ -21,13 +21,13 @@ from robosat_tpu.tiles import tiles_from_slippy_map
 def add_parser(subparser):
     parser = subparser.add_parser(
         "masks",
-        help="compute masks from prediction probabilities",
+        help="turns probability tiles into class masks (with optional ensembling)",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
 
-    parser.add_argument("masks", type=str, help="slippy map directory to save masks to")
-    parser.add_argument("probs", type=str, nargs="+", help="slippy map directories with class probabilities")
-    parser.add_argument("--weights", type=float, nargs="+", help="weights for weighted average soft-voting")
+    parser.add_argument("masks", type=str, help="slippy map directory for the output masks")
+    parser.add_argument("probs", type=str, nargs="+", help="one or more slippy map directories of probability tiles")
+    parser.add_argument("--weights", type=float, nargs="+", help="per-directory weights for the soft-vote average")
 
     parser.set_defaults(func=main)
 

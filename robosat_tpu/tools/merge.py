@@ -21,12 +21,12 @@ from robosat_tpu.spatial.core import make_index, project_ea, project_el_wgs, pro
 
 def add_parser(subparser):
     parser = subparser.add_parser(
-        "merge", help="merged adjacent GeoJSON features", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        "merge", help="fuses GeoJSON features that sit close together", formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
 
-    parser.add_argument("features", type=str, help="GeoJSON file to read features from")
-    parser.add_argument("--threshold", type=int, required=True, help="minimum distance to adjacent features, in m")
-    parser.add_argument("out", type=str, help="path to GeoJSON to save merged features to")
+    parser.add_argument("features", type=str, help="GeoJSON features to merge")
+    parser.add_argument("--threshold", type=int, required=True, help="merge features closer than this many meters")
+    parser.add_argument("out", type=str, help="GeoJSON file for the merged features")
 
     parser.set_defaults(func=main)
 

@@ -31,23 +31,23 @@ from robosat_tpu.device import configure_accelerator
 def add_parser(subparser):
     parser = subparser.add_parser(
         "predict",
-        help="predicts probability masks for slippy map tiles",
+        help="runs the model over imagery tiles, writing probability tiles",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
 
-    parser.add_argument("--batch_size", type=int, default=1, help="images per batch")
-    parser.add_argument("--checkpoint", type=str, required=True, help="model checkpoint to load")
-    parser.add_argument("--overlap", type=int, default=32, help="tile pixel overlap to predict on")
+    parser.add_argument("--batch_size", type=int, default=1, help="tiles per device batch")
+    parser.add_argument("--checkpoint", type=str, required=True, help="checkpoint to run (.npz, or a reference .pth)")
+    parser.add_argument("--overlap", type=int, default=32, help="context pixels borrowed from neighboring tiles on every side")
     parser.add_argument(
         "--strip",
         type=int,
         default=1,
         help="predict this many vertically-consecutive tiles as one image (less halo re-compute)",
     )
-    parser.add_argument("--tile_size", type=int, required=True, help="tile size for slippy map tiles")
-    parser.add_argument("--workers", type=int, default=0, help="number of workers pre-processing images")
-    parser.add_argument("tiles", type=str, help="directory to read slippy map image tiles from")
-    parser.add_argument("probs", type=str, help="directory to save slippy map probability masks to")
+    parser.add_argument("--tile_size", type=int, required=True, help="side length of the input tiles in pixels")
+    parser.add_argument("--workers", type=int, default=0, help="decode/encode worker threads")
+    parser.add_argument("tiles", type=str, help="slippy map directory with input imagery")
+    parser.add_argument("probs", type=str, help="slippy map directory for the probability tiles")
     parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
     parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
     parser.add_argument("--profile", type=str, default=None, help="write a TensorBoard device trace to this directory")

@@ -27,15 +27,15 @@ from robosat_tpu.tiles import tiles_from_csv
 
 def add_parser(subparser):
     parser = subparser.add_parser(
-        "rasterize", help="rasterize features to label masks", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        "rasterize", help="burns GeoJSON features into label tiles", formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
 
-    parser.add_argument("features", type=str, help="path to GeoJSON features file")
-    parser.add_argument("tiles", type=str, help="path to .csv tiles file")
-    parser.add_argument("out", type=str, help="directory to write converted images")
+    parser.add_argument("features", type=str, help="GeoJSON features to burn")
+    parser.add_argument("tiles", type=str, help="csv of tile ids to rasterize")
+    parser.add_argument("out", type=str, help="slippy map directory for the label tiles")
     parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
-    parser.add_argument("--zoom", type=int, required=True, help="zoom level of tiles")
-    parser.add_argument("--size", type=int, default=512, help="size of rasterized image tiles in pixels")
+    parser.add_argument("--zoom", type=int, required=True, help="zoom level the csv tiles live at")
+    parser.add_argument("--size", type=int, default=512, help="side length of the burned tiles in pixels")
 
     parser.set_defaults(func=main)
 

@@ -62,17 +62,17 @@ MAP_TEMPLATE = """<!DOCTYPE html>
 def add_parser(subparser):
     parser = subparser.add_parser(
         "serve",
-        help="serves predicted masks with on-demand tileserver",
+        help="tile server running segmentation per request",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
 
     parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
     parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
     parser.add_argument("--url", type=str, help="endpoint with {z}/{x}/{y} variables to fetch image tiles from")
-    parser.add_argument("--checkpoint", type=str, required=True, help="model checkpoint to load")
-    parser.add_argument("--tile_size", type=int, default=512, help="tile size for slippy map tiles")
-    parser.add_argument("--host", type=str, default="127.0.0.1", help="host to serve on")
-    parser.add_argument("--port", type=int, default=5000, help="port to serve on")
+    parser.add_argument("--checkpoint", type=str, required=True, help="checkpoint to serve")
+    parser.add_argument("--tile_size", type=int, default=512, help="side length of served tiles in pixels")
+    parser.add_argument("--host", type=str, default="127.0.0.1", help="bind address")
+    parser.add_argument("--port", type=int, default=5000, help="bind port")
 
     parser.set_defaults(func=main)
 

@@ -1,6 +1,8 @@
-"""`rs subset` — copy tiles listed in a CSV out of a slippy map directory.
+"""`rs subset` — carve a tile subset out of a slippy-map directory.
 
-Contract parity: robosat/tools/subset.py.
+Contract parity: robosat/tools/subset.py (CSV-driven copy, extensions
+preserved). Implemented as a lookup-driven copy: walk the source once into a
+tile->path map, then iterate the wanted CSV ids.
 """
 
 import argparse
@@ -15,24 +17,25 @@ from robosat_tpu.tiles import tiles_from_csv, tiles_from_slippy_map
 def add_parser(subparser):
     parser = subparser.add_parser(
         "subset",
-        help="filter images in a slippy map directory using a csv",
+        help="copies the tiles listed in a csv out of a slippy map directory",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("images", type=str, help="directory to read slippy map image tiles from for filtering")
-    parser.add_argument("tiles", type=str, help="csv to filter images by")
-    parser.add_argument("out", type=str, help="directory to save filtered images to")
+    parser.add_argument("images", type=str, help="slippy map directory to copy tiles from")
+    parser.add_argument("tiles", type=str, help="csv of tile ids to keep")
+    parser.add_argument("out", type=str, help="slippy map directory to copy tiles into")
 
     parser.set_defaults(func=main)
 
 
 def main(args):
-    wanted = set(tiles_from_csv(args.tiles))
+    available = dict(tiles_from_slippy_map(args.images))
 
-    for tile, src in tqdm(list(tiles_from_slippy_map(args.images)), desc="Subset", unit="image", ascii=True):
-        if tile not in wanted:
+    for tile in tqdm(list(tiles_from_csv(args.tiles)), desc="Subset", unit="image", ascii=True):
+        src = available.get(tile)
+        if src is None:
             continue
 
-        extension = os.path.splitext(src)[1]
-        os.makedirs(os.path.join(args.out, str(tile.z), str(tile.x)), exist_ok=True)
-        dst = os.path.join(args.out, str(tile.z), str(tile.x), "{}{}".format(tile.y, extension))
-        shutil.copyfile(src, dst)
+        ext = os.path.splitext(src)[1]  # includes the leading period
+        dst_dir = os.path.join(args.out, str(tile.z), str(tile.x))
+        os.makedirs(dst_dir, exist_ok=True)
+        shutil.copyfile(src, os.path.join(dst_dir, "{}{}".format(tile.y, ext)))

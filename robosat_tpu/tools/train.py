@@ -37,14 +37,14 @@ from robosat_tpu.utils import plot
 
 def add_parser(subparser):
     parser = subparser.add_parser(
-        "train", help="trains model on dataset", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        "train", help="fits the segmentation model to a dataset", formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
 
     parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
     parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
-    parser.add_argument("--checkpoint", type=str, required=False, help="path to a model checkpoint (to retrain)")
-    parser.add_argument("--resume", type=bool, default=False, help="resume training or fine-tuning (if checkpoint)")
-    parser.add_argument("--workers", type=int, default=0, help="number of workers pre-processing images")
+    parser.add_argument("--checkpoint", type=str, required=False, help="warm-start weights from this checkpoint")
+    parser.add_argument("--resume", type=bool, default=False, help="also restore optimizer state and epoch counter")
+    parser.add_argument("--workers", type=int, default=0, help="decode worker threads")
     parser.add_argument("--profile", type=str, default=None, help="write a TensorBoard device trace to this directory")
 
     parser.set_defaults(func=main)

@@ -1,26 +1,29 @@
 """Training-history plotting (per-epoch metric curves to a PNG).
 
-Same artifact as the reference (robosat/utils.py:7-22).
+Same artifact shape as the reference (robosat/utils.py:7-22): one chart, one
+line per tracked metric, epoch numbers on the x axis.
 """
 
 import matplotlib
 
 matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib import pyplot  # noqa: E402
 
 
 def plot(out, history):
-    """Plot every metric series in `history` (name -> list of values) to `out`."""
-    plt.figure()
+    """Render every metric series in `history` (name -> values) into `out`."""
+    fig, ax = pyplot.subplots()
 
-    n = max((len(v) for v in history.values()), default=0)
-    plt.xticks(range(n), [v + 1 for v in range(n)])
-    plt.grid()
+    epochs = max((len(series) for series in history.values()), default=0)
+    ax.set_xticks(range(epochs), labels=[str(e + 1) for e in range(epochs)])
+    ax.set_xlabel("epoch")
+    ax.grid(True)
 
-    for values in history.values():
-        plt.plot(values)
+    for name, series in history.items():
+        ax.plot(series, label=name)
 
-    plt.xlabel("epoch")
-    plt.legend(list(history))
-    plt.savefig(out, format="png")
-    plt.close()
+    if history:
+        ax.legend()
+
+    fig.savefig(out, format="png")
+    pyplot.close(fig)
