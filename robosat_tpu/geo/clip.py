@@ -199,10 +199,6 @@ def _canonical_segments(segs):
     return merged
 
 
-class _Slab:
-    __slots__ = ("x0", "x1", "regions")
-
-
 def _overlay(geom_a, geom_b, op, want_geometry):
     """Core slab overlay. Returns (area, edge soup or None)."""
     pred = _PREDICATES[op]

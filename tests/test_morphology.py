@@ -63,3 +63,17 @@ def test_denoise_grow_fused_matches_cv2_pipeline():
     for i in range(len(masks)):
         ref = cv2.morphologyEx(cv2.morphologyEx(masks[i], cv2.MORPH_OPEN, se_d), cv2.MORPH_CLOSE, se_g)
         np.testing.assert_array_equal(fused[i], ref)
+
+
+def test_visualize_writes_binary_palette_png(tmp_path):
+    from PIL import Image
+
+    from robosat_tpu.features.core import visualize
+
+    mask = np.zeros((16, 16), np.uint8)
+    mask[4:12, 4:12] = 1
+    out = tmp_path / "vis.png"
+    visualize(mask, str(out))
+    img = Image.open(out)
+    assert img.mode == "P"
+    np.testing.assert_array_equal(np.array(img), mask)

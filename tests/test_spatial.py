@@ -93,3 +93,12 @@ def test_graph_components():
     assert comps == [[0], [1, 2, 3], [4]]
     assert g.targets(2) == {1, 3}
     assert set(g.vertices()) == {0, 1, 2, 3, 4}
+
+
+def test_webmercator_roundtrip():
+    lng = np.array([-122.4194, 13.4])
+    lat = np.array([37.7749, 52.52])
+    x, y = proj.wgs_to_webmercator(lng, lat)
+    lng2, lat2 = proj.webmercator_to_wgs(x, y)
+    np.testing.assert_allclose(lng2, lng, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)

@@ -45,3 +45,11 @@ def test_parent_children():
     p = tilemath.parent(t)
     assert p.z == 17
     assert t in tilemath.children(p)
+
+
+def test_xy_lnglat_roundtrip():
+    lng, lat = -122.4194, 37.7749
+    x, y = tilemath.xy(lng, lat)
+    lng2, lat2 = tilemath.lnglat(x, y)
+    assert math.isclose(lng2, lng, abs_tol=1e-9)
+    assert math.isclose(lat2, lat, abs_tol=1e-9)
