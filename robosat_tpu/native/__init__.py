@@ -74,8 +74,10 @@ def overlay_area(rings_a, rings_b, op):
     """Native boolean-overlay area; raises if the library is unavailable."""
     lib = load()
     assert lib is not None
-    ca, la, na, keep_a = _pack(rings_a)
-    cb, lb, nb, keep_b = _pack(rings_b)
+    # keep_a/keep_b hold the numpy buffers the pointers reference alive for
+    # the duration of the native call.
+    ca, la, na, keep_a = _pack(rings_a)  # noqa: F841
+    cb, lb, nb, keep_b = _pack(rings_b)  # noqa: F841
     return float(lib.rs_overlay_area(ca, la, na, cb, lb, nb, _OPS[op]))
 
 
@@ -83,8 +85,8 @@ def overlay_edges(rings_a, rings_b, op):
     """Native boolean-overlay boundary edges as a list of ((x1,y1),(x2,y2))."""
     lib = load()
     assert lib is not None
-    ca, la, na, keep_a = _pack(rings_a)
-    cb, lb, nb, keep_b = _pack(rings_b)
+    ca, la, na, keep_a = _pack(rings_a)  # noqa: F841
+    cb, lb, nb, keep_b = _pack(rings_b)  # noqa: F841
     count = ctypes.c_int64(0)
     ptr = lib.rs_overlay_edges(ca, la, na, cb, lb, nb, _OPS[op], ctypes.byref(count))
     try:

@@ -95,7 +95,7 @@ def test_rs_predict_accepts_pth_checkpoint(tmp_path, slippy_fixtures):
     assert meta["epoch"] == 7
 
     save_config(
-        {"common": {"cuda": False, "batch_size": 2, "image_size": 512, "checkpoint": str(tmp_path)}},
+        {"common": {"cuda": False, "batch_size": 2, "image_size": 256, "checkpoint": str(tmp_path)}},
         str(tmp_path / "model.toml"),
     )
     save_config(
@@ -109,7 +109,7 @@ def test_rs_predict_accepts_pth_checkpoint(tmp_path, slippy_fixtures):
             checkpoint=str(pth),
             overlap=32,
             strip=1,
-            tile_size=512,
+            tile_size=256,
             workers=2,
             tiles=str(slippy_fixtures / "images"),
             probs=str(tmp_path / "probs"),
@@ -123,4 +123,4 @@ def test_rs_predict_accepts_pth_checkpoint(tmp_path, slippy_fixtures):
     assert len(outs) == 3
     img = Image.open(outs[0])
     assert img.mode == "P"
-    assert img.size == (512, 512)
+    assert img.size == (256, 256)
