@@ -98,6 +98,24 @@ def _segments_from_rings(rings, tag, q):
     return segs
 
 
+def _canonical_segments_signed(segs):
+    """Merge coincident segments, accumulating signed winding weight.
+
+    The weight of an undirected segment key is (number of input edges running
+    key-forward) - (running key-backward); weight 0 edges cancel out. For the
+    winding sweep, crossing a span upward adds its weight to the winding
+    number W (spans store lo->hi in +x order, matching the key order for
+    non-vertical segments).
+    """
+    weight = defaultdict(int)
+    for p1, p2, _ in segs:
+        if p1 <= p2:
+            weight[(p1, p2)] += 1
+        else:
+            weight[(p2, p1)] -= 1
+    return [(p1, p2, w, 0) for (p1, p2), w in weight.items() if w != 0]
+
+
 def _seg_split_points(a1, a2, b1, b2):
     """Points where segment b should split segment a (and vice versa).
 
@@ -138,15 +156,36 @@ def _param_on_segment(p, s1, s2):
     return t if 0.0 < t < 1.0 else None
 
 
+def _param_near_segment(p, s1, s2, q):
+    """Parameter of p along [s1, s2] if p lies within q of the segment.
+
+    Snap-rounding consistency requires welding vertices onto segments that
+    pass within the grid quantum (T-junctions): without it a near-parallel
+    pair can interpolate one quantum apart at a shared slab boundary and the
+    emitted trapezoid edges fail to link into rings.
+    """
+    dx, dy = s2[0] - s1[0], s2[1] - s1[1]
+    length2 = dx * dx + dy * dy
+    if length2 == 0.0:
+        return None
+    cross = dx * (p[1] - s1[1]) - dy * (p[0] - s1[0])
+    if cross * cross > q * q * length2:
+        return None
+    return _param_on_segment(p, s1, s2)
+
+
 def _split_all_segments(segs, q):
     """Split every segment at every crossing/touch point, snapping to grid."""
     n = len(segs)
     split_pts = [set() for _ in range(n)]
 
-    # Bounding boxes for a cheap prefilter.
+    # Bounding boxes (inflated by q so near-miss T-junctions are seen) for a
+    # cheap prefilter.
     boxes = []
     for p1, p2, _ in segs:
-        boxes.append((min(p1[0], p2[0]), min(p1[1], p2[1]), max(p1[0], p2[0]), max(p1[1], p2[1])))
+        boxes.append(
+            (min(p1[0], p2[0]) - q, min(p1[1], p2[1]) - q, max(p1[0], p2[0]) + q, max(p1[1], p2[1]) + q)
+        )
 
     order = sorted(range(n), key=lambda i: boxes[i][0])
     for oi in range(n):
@@ -172,6 +211,16 @@ def _split_all_segments(segs, q):
                 t = _param_on_segment(sp, b1, b2)
                 if t is not None:
                     split_pts[j].add((t, sp))
+            # Weld each segment's endpoints onto the other segment when they
+            # pass within the snap quantum (see _param_near_segment).
+            for v in (b1, b2):
+                t = _param_near_segment(v, a1, a2, q)
+                if t is not None:
+                    split_pts[i].add((t, v))
+            for v in (a1, a2):
+                t = _param_near_segment(v, b1, b2, q)
+                if t is not None:
+                    split_pts[j].add((t, v))
 
     out = []
     for i, (p1, p2, tag) in enumerate(segs):
@@ -201,7 +250,6 @@ def _canonical_segments(segs):
 
 def _overlay(geom_a, geom_b, op, want_geometry):
     """Core slab overlay. Returns (area, edge soup or None)."""
-    pred = _PREDICATES[op]
     rings_a = _collect_rings(geom_a)
     rings_b = _collect_rings(geom_b)
     q = _snap_quantum(rings_a, rings_b)
@@ -211,6 +259,34 @@ def _overlay(geom_a, geom_b, op, want_geometry):
         return 0.0, []
     segs = _split_all_segments(segs, q)
     segs = _canonical_segments(segs)
+    return _sweep(segs, q, op, want_geometry)
+
+
+def _overlay_union(rings, want_geometry):
+    """N-ary winding-rule union of canonically-oriented rings in ONE overlay.
+
+    Shells arrive CCW, holes CW; the union of all inputs is the region with
+    winding number > 0. One slab decomposition over every edge replaces the
+    divide-and-conquer tree of pairwise overlays (O(N) boolean_op calls each
+    paying Python ring-assembly overhead) that `union_all` used to build.
+    """
+    q = _snap_quantum(rings, [])
+    segs = _segments_from_rings(rings, 0, q)
+    if not segs:
+        return 0.0, []
+    segs = _split_all_segments(segs, q)
+    segs = _canonical_segments_signed(segs)
+    return _sweep(segs, q, "nunion", want_geometry)
+
+
+def _sweep(segs, q, op, want_geometry):
+    """Slab sweep over canonical segments. Returns (area, edge soup or None).
+
+    For the even-odd ops, segment payloads (da, db) are parity toggles per
+    operand; for "nunion" da is a signed winding weight (db unused).
+    """
+    winding = op == "nunion"
+    pred = None if winding else _PREDICATES[op]
 
     # Non-vertical spanning segments; all endpoint xs define the slabs.
     xs = sorted({p[0] for s in segs for p in (s[0], s[1])})
@@ -241,9 +317,14 @@ def _overlay(geom_a, geom_b, op, want_geometry):
         in_a = in_b = 0
         for idx in range(len(active) - 1):
             ym, y0, y1, pa, pb = active[idx]
-            in_a ^= pa
-            in_b ^= pb
-            if pred(in_a, in_b):
+            if winding:
+                in_a += pa
+                covered = in_a > 0
+            else:
+                in_a ^= pa
+                in_b ^= pb
+                covered = pred(in_a, in_b)
+            if covered:
                 nym, ny0, ny1, _, _ = active[idx + 1]
                 total_area += (x1 - x0) * (nym - ym)
                 if want_geometry:
@@ -292,6 +373,52 @@ def _overlay(geom_a, geom_b, op, want_geometry):
                 directed.append(((x, hi), (x, lo)))
 
     return total_area, directed
+
+
+def _weld_edges(directed_edges, q):
+    """Weld edge endpoints that landed within ~1.5q of each other.
+
+    The sweep emits each boundary point from up to four trapezoids; snapped
+    interpolations can disagree by one grid quantum when near-parallel chains
+    interact, leaving junctions that do not link. Clustering endpoints to a
+    single representative (greedy grid-hash pass) repairs those junctions;
+    representatives move points by O(q), inside the overlay's tolerance.
+    Edges welded onto a single point are dropped, and opposite coincident
+    pairs created by the weld cancel.
+    """
+    tol = 1.5 * q
+    buckets = defaultdict(list)
+    reps = {}
+
+    def rep_for(v):
+        r = reps.get(v)
+        if r is not None:
+            return r
+        kx, ky = round(v[0] / tol), round(v[1] / tol)
+        for key in ((kx + dx, ky + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)):
+            for u in buckets.get(key, ()):
+                if abs(u[0] - v[0]) <= tol and abs(u[1] - v[1]) <= tol:
+                    reps[v] = r = reps[u]
+                    buckets[(kx, ky)].append(v)
+                    return r
+        reps[v] = v
+        buckets[(kx, ky)].append(v)
+        return v
+
+    net = defaultdict(int)
+    for p1, p2 in directed_edges:
+        r1, r2 = rep_for(p1), rep_for(p2)
+        if r1 == r2:
+            continue
+        if r1 <= r2:
+            net[(r1, r2)] += 1
+        else:
+            net[(r2, r1)] -= 1
+    out = []
+    for (p1, p2), count in net.items():
+        for _ in range(abs(count)):
+            out.append((p1, p2) if count > 0 else (p2, p1))
+    return out
 
 
 def _link_rings(directed_edges):
@@ -345,32 +472,44 @@ def _simplify_collinear(ring, q):
 
     The slab decomposition leaves a vertex on every slanted edge at every slab
     boundary; after grid snapping these deviate from the true line by at most
-    the quantum, so anything within 2q perpendicular distance of the
-    neighbor chord is a decomposition artifact, not geometry.
+    the quantum, so anything within 2q perpendicular distance of the running
+    chord is a decomposition artifact, not geometry.
+
+    Non-compounding: a vertex is dropped only if it stays within tolerance of
+    the chord from the last *kept* vertex to its successor, so total drift
+    from the true boundary stays O(q) — an iterate-to-fixpoint variant let
+    removals compound and could flatten genuinely curved vertex runs (e.g.
+    buffer arcs) far beyond the snap tolerance.
     """
     if len(ring) < 3:
         return ring
-    out = list(ring)
     tol = 2.0 * q
-    changed = True
-    while changed and len(out) >= 3:
-        changed = False
-        kept = []
-        n = len(out)
-        for i in range(n):
-            a = out[(i - 1) % n]
-            b = out[i]
-            c = out[(i + 1) % n]
-            acx, acy = c[0] - a[0], c[1] - a[1]
-            cross = (b[0] - a[0]) * acy - (b[1] - a[1]) * acx
-            chord = math.hypot(acx, acy)
-            # Perpendicular distance of b from chord a-c; also drop exact spikes.
-            if chord > 0 and abs(cross) / chord <= tol:
-                changed = True
-                continue
-            kept.append(b)
-        out = kept
-    return out if len(out) >= 3 else []
+
+    def within(a, b, c):
+        """Perpendicular distance of b from chord a-c is <= tol (or a == c)."""
+        acx, acy = c[0] - a[0], c[1] - a[1]
+        chord = math.hypot(acx, acy)
+        if chord == 0:
+            return True  # spike a -> b -> a
+        cross = (b[0] - a[0]) * acy - (b[1] - a[1]) * acx
+        return abs(cross) / chord <= tol
+
+    pts = list(ring)
+    n = len(pts)
+    kept = [pts[0]]
+    for i in range(1, n):
+        if not within(kept[-1], pts[i], pts[(i + 1) % n]):
+            kept.append(pts[i])
+
+    # Wrap-around: the walk never reconsiders the start vertex (and the last
+    # kept vertex's chord now wraps to it); a couple of boundary passes settle it.
+    for _ in range(2):
+        if len(kept) >= 3 and within(kept[-1], kept[0], kept[1]):
+            kept.pop(0)
+        if len(kept) >= 3 and within(kept[-2], kept[-1], kept[0]):
+            kept.pop()
+
+    return kept if len(kept) >= 3 else []
 
 
 def _assemble_polygons(rings, q):
@@ -417,7 +556,7 @@ def boolean_op(geom_a, geom_b, op):
         directed = native.overlay_edges(rings_a, rings_b, op)
     else:
         _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
-    return _assemble_polygons(_link_rings(directed), q)
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 
 
 def overlay_area(geom_a, geom_b, op):
@@ -443,22 +582,54 @@ def difference(a, b):
     return boolean_op(a, b, "difference")
 
 
-def union_all(geoms):
-    """Union of many geometries, divide-and-conquer to keep overlays small.
+def _canonical_union_rings(geoms):
+    """All rings of the inputs, shells oriented CCW and holes CW."""
+    rings = []
+    for g in geoms:
+        for p in g.geoms if isinstance(g, MultiPolygon) else [g]:
+            if p.is_empty:
+                continue
+            rings.append(p.shell if ring_area(p.shell) > 0 else p.shell[::-1])
+            for h in p.holes:
+                rings.append(h if ring_area(h) < 0 else h[::-1])
+    return rings
 
-    Parity: robosat/spatial/core.py:25-40 (functools.reduce of .union).
+
+def union_all(geoms):
+    """Union of many valid polygons in ONE winding-rule overlay.
+
+    Parity: robosat/spatial/core.py:25-40 (functools.reduce of .union), but
+    instead of N-1 pairwise GEOS unions (or this engine's former
+    divide-and-conquer tree) all edges enter a single slab decomposition and
+    the union is the winding>0 region — the overlay, ring linking, and
+    polygon assembly run once.
     """
     geoms = [g for g in geoms if g is not None and not g.is_empty]
     if not geoms:
         return MultiPolygon([])
-    while len(geoms) > 1:
-        merged = []
-        for i in range(0, len(geoms) - 1, 2):
-            merged.append(union(geoms[i], geoms[i + 1]))
-        if len(geoms) % 2:
-            merged.append(geoms[-1])
-        geoms = merged
-    g = geoms[0]
-    if isinstance(g, Polygon):
-        return MultiPolygon([g])
-    return g
+    rings = _canonical_union_rings(geoms)
+    q = _snap_quantum(rings, [])
+
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        directed = native.overlay_edges(rings, [], "nunion")
+    else:
+        _, directed = _overlay_union(rings, want_geometry=True)
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+
+
+def union_all_area(geoms):
+    """Area of the union of many valid polygons, single winding overlay."""
+    geoms = [g for g in geoms if g is not None and not g.is_empty]
+    if not geoms:
+        return 0.0
+    rings = _canonical_union_rings(geoms)
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        return native.overlay_area(rings, [], "nunion")
+    area, _ = _overlay_union(rings, want_geometry=False)
+    return area

@@ -38,29 +38,35 @@ def ring_area(ring):
 def ring_is_simple(ring):
     """True if no two non-adjacent edges of the ring properly intersect.
 
-    O(n^2) pairwise test — rings in this pipeline are small (OSM ways,
-    simplified contours). Adjacent edges sharing a vertex are allowed; any
-    other contact (crossing, overlap, touch) makes the ring non-simple.
+    All-pairs segment test, vectorized over (chunked) numpy broadcasts so
+    city-scale rings stay off the Python bytecode path. Adjacent edges
+    sharing a vertex are allowed; any other contact (crossing, overlap,
+    touch) makes the ring non-simple.
     """
     n = len(ring)
     if n < 3:
         return False
     pts = np.asarray(ring, dtype=np.float64)
-    segs = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
-    for i in range(n):
-        p1, p2 = segs[i]
-        if p1[0] == p2[0] and p1[1] == p2[1]:
-            return False  # degenerate zero-length edge
-        for j in range(i + 1, n):
-            adjacent = j == i + 1 or (i == 0 and j == n - 1)
-            q1, q2 = segs[j]
-            if adjacent:
-                # Shared endpoint allowed, but collinear overlap is not.
-                if _collinear_overlap(p1, p2, q1, q2):
-                    return False
-                continue
-            if segments_intersect(p1, p2, q1, q2):
-                return False
+    p1 = pts
+    p2 = np.roll(pts, -1, axis=0)
+
+    if np.any(np.all(p1 == p2, axis=1)):
+        return False  # degenerate zero-length edge
+
+    # Adjacent edges: shared endpoint allowed, collinear overlap is not.
+    nxt = np.roll(np.arange(n), -1)
+    if np.any(_collinear_overlap_rows(p1, p2, p1[nxt], p2[nxt])):
+        return False
+
+    # Non-adjacent pairs, chunked to bound the n^2 broadcast memory.
+    idx = np.arange(n)
+    for start in range(0, n, _PAIR_CHUNK):
+        stop = min(start + _PAIR_CHUNK, n)
+        hits = _segments_cross_block(p1[start:stop], p2[start:stop], p1, p2)
+        gap = np.abs(idx[start:stop, None] - idx[None, :])
+        hits &= (gap > 1) & (gap < n - 1)
+        if hits.any():
+            return False
     return True
 
 
@@ -104,22 +110,129 @@ def _collinear_overlap(p1, p2, q1, q2):
     return min(a1, b1) - max(a0, b0) > 0
 
 
-def point_in_ring(point, ring):
-    """Even-odd point-in-ring test. Points on the boundary count as inside."""
-    x, y = point
-    n = len(ring)
-    inside = False
-    for i in range(n):
-        x1, y1 = ring[i]
-        x2, y2 = ring[(i + 1) % n]
-        # Boundary check.
-        if _orient2d((x1, y1), (x2, y2), (x, y)) == 0 and _on_segment((x1, y1), (x2, y2), (x, y)):
+# Row chunk for the O(n*m) pairwise broadcasts below: caps peak temporary
+# memory at ~_PAIR_CHUNK * m * 8B per matrix while keeping numpy throughput.
+_PAIR_CHUNK = 512
+
+
+def _collinear_overlap_rows(p1, p2, q1, q2):
+    """Rowwise `_collinear_overlap` over (N, 2) segment arrays -> bool (N,)."""
+    d1 = (p2[:, 0] - p1[:, 0]) * (q1[:, 1] - p1[:, 1]) - (p2[:, 1] - p1[:, 1]) * (q1[:, 0] - p1[:, 0])
+    d2 = (p2[:, 0] - p1[:, 0]) * (q2[:, 1] - p1[:, 1]) - (p2[:, 1] - p1[:, 1]) * (q2[:, 0] - p1[:, 0])
+    collinear = (d1 == 0) & (d2 == 0)
+
+    use_x = np.abs(p2[:, 0] - p1[:, 0]) >= np.abs(p2[:, 1] - p1[:, 1])
+    pa = np.where(use_x, p1[:, 0], p1[:, 1])
+    pb = np.where(use_x, p2[:, 0], p2[:, 1])
+    qa = np.where(use_x, q1[:, 0], q1[:, 1])
+    qb = np.where(use_x, q2[:, 0], q2[:, 1])
+    overlap = np.minimum(np.maximum(pa, pb), np.maximum(qa, qb)) - np.maximum(np.minimum(pa, pb), np.minimum(qa, qb))
+    return collinear & (overlap > 0)
+
+
+def _segments_cross_block(a1, a2, b1, b2):
+    """Pairwise `segments_intersect` over segment arrays, vectorized.
+
+    a1, a2: (na, 2) segment endpoints; b1, b2: (nb, 2). Returns bool
+    (na, nb) with semantics identical to the scalar predicate (closed
+    segments; touching counts).
+    """
+    ax1, ay1 = a1[:, 0, None], a1[:, 1, None]
+    ax2, ay2 = a2[:, 0, None], a2[:, 1, None]
+    bx1, by1 = b1[None, :, 0], b1[None, :, 1]
+    bx2, by2 = b2[None, :, 0], b2[None, :, 1]
+
+    # orient(b1, b2, a1) etc., broadcast to (na, nb).
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+
+    proper = (
+        ((d1 > 0) != (d2 > 0))
+        & ((d3 > 0) != (d4 > 0))
+        & (d1 != 0)
+        & (d2 != 0)
+        & (d3 != 0)
+        & (d4 != 0)
+    )
+
+    def on_b(x, y):
+        return (
+            (np.minimum(bx1, bx2) <= x)
+            & (x <= np.maximum(bx1, bx2))
+            & (np.minimum(by1, by2) <= y)
+            & (y <= np.maximum(by1, by2))
+        )
+
+    def on_a(x, y):
+        return (
+            (np.minimum(ax1, ax2) <= x)
+            & (x <= np.maximum(ax1, ax2))
+            & (np.minimum(ay1, ay2) <= y)
+            & (y <= np.maximum(ay1, ay2))
+        )
+
+    touch = (
+        ((d1 == 0) & on_b(ax1, ay1))
+        | ((d2 == 0) & on_b(ax2, ay2))
+        | ((d3 == 0) & on_a(bx1, by1))
+        | ((d4 == 0) & on_a(bx2, by2))
+    )
+    return proper | touch
+
+
+def _edges_cross(pa_edges, pb_edges):
+    """True if any segment of edge set A intersects any of edge set B."""
+    a1, a2 = pa_edges
+    b1, b2 = pb_edges
+    for start in range(0, len(a1), _PAIR_CHUNK):
+        stop = min(start + _PAIR_CHUNK, len(a1))
+        if _segments_cross_block(a1[start:stop], a2[start:stop], b1, b2).any():
             return True
-        if (y1 > y) != (y2 > y):
-            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
-            if x < xint:
-                inside = not inside
-    return inside
+    return False
+
+
+def _polygon_edges(poly):
+    """All boundary segments of a polygon as ((E, 2) starts, (E, 2) ends)."""
+    starts, ends = [], []
+    for ring in poly.rings:
+        if len(ring) >= 2:
+            starts.append(ring)
+            ends.append(np.roll(ring, -1, axis=0))
+    if not starts:
+        empty = np.zeros((0, 2), dtype=np.float64)
+        return empty, empty
+    return np.concatenate(starts), np.concatenate(ends)
+
+
+def point_in_ring(point, ring):
+    """Even-odd point-in-ring test, vectorized over the ring's edges.
+    Points on the boundary count as inside."""
+    x, y = float(point[0]), float(point[1])
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) == 0:
+        return False
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+
+    # Boundary check.
+    d = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on_edge = (
+        (d == 0)
+        & (np.minimum(x1, x2) <= x)
+        & (x <= np.maximum(x1, x2))
+        & (np.minimum(y1, y2) <= y)
+        & (y <= np.maximum(y1, y2))
+    )
+    if on_edge.any():
+        return True
+
+    crossing = (y1 > y) != (y2 > y)
+    if not crossing.any():
+        return False
+    xint = x1[crossing] + (y - y1[crossing]) * (x2[crossing] - x1[crossing]) / (y2[crossing] - y1[crossing])
+    return bool(np.count_nonzero(x < xint) % 2)
 
 
 class Geometry:
@@ -254,12 +367,19 @@ class MultiPolygon(Geometry):
 
 
 def _point_on_ring_boundary(point, ring):
-    n = len(ring)
-    for i in range(n):
-        a, b = ring[i], ring[(i + 1) % n]
-        if _orient2d(a, b, point) == 0 and _on_segment(a, b, point):
-            return True
-    return False
+    x, y = float(point[0]), float(point[1])
+    ring = np.asarray(ring, dtype=np.float64)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    d = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on_edge = (
+        (d == 0)
+        & (np.minimum(x1, x2) <= x)
+        & (x <= np.maximum(x1, x2))
+        & (np.minimum(y1, y2) <= y)
+        & (y <= np.maximum(y1, y2))
+    )
+    return bool(on_edge.any())
 
 
 def shape(mapping):
@@ -355,22 +475,19 @@ def geometries_intersect(a, b):
     b_polys = b.geoms if isinstance(b, MultiPolygon) else [b]
 
     for pa in a_polys:
+        pa_edges = None
         for pb in b_polys:
             if not bounds_intersect(pa.bounds, pb.bounds):
                 continue
             # Containment (either direction).
             if pb.contains_point(tuple(pa.shell[0])) or pa.contains_point(tuple(pb.shell[0])):
                 return True
-            # Boundary crossing.
-            for ra in pa.rings:
-                na = len(ra)
-                for rb in pb.rings:
-                    nb = len(rb)
-                    for i in range(na):
-                        p1, p2 = ra[i], ra[(i + 1) % na]
-                        for j in range(nb):
-                            if segments_intersect(p1, p2, rb[j], rb[(j + 1) % nb]):
-                                return True
+            # Boundary crossing: one batched all-pairs segment test per
+            # polygon pair instead of a Python loop per segment pair.
+            if pa_edges is None:
+                pa_edges = _polygon_edges(pa)
+            if _edges_cross(pa_edges, _polygon_edges(pb)):
+                return True
     return False
 
 

@@ -37,41 +37,75 @@ def fill_rings(rings, out, value=1):
     """Even-odd scanline fill of rings (in pixel coordinates) into `out`.
 
     A pixel (row, col) is set iff its center (col + .5, row + .5) is inside
-    an odd number of rings.
+    an odd number of rings. Fully vectorized: all (row, edge) crossings are
+    computed in one broadcast, paired per row, and filled through a
+    difference-array cumsum — no Python loop over rows or spans (the
+    reference leaned on GDAL's C scanline for this, rasterize.py:81-83).
     """
     height, width = out.shape
 
-    edges = []
+    starts = []
     for ring in rings:
-        pts = ring
-        n = len(pts)
-        for i in range(n):
-            x1, y1 = pts[i]
-            x2, y2 = pts[(i + 1) % n]
-            if y1 != y2:
-                edges.append((x1, y1, x2, y2))
-    if not edges:
+        pts = np.asarray(ring, dtype=np.float64)
+        if len(pts) >= 2:
+            starts.append(np.concatenate([pts, np.roll(pts, -1, axis=0)], axis=1))
+    if not starts:
         return out
-
-    edges = np.asarray(edges, dtype=np.float64)
-    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    edges = np.concatenate(starts)
+    keep = edges[:, 1] != edges[:, 3]  # drop horizontal edges
+    if not keep.any():
+        return out
+    x1, y1, x2, y2 = (edges[keep, i] for i in range(4))
 
     ymin = max(0, int(math.floor(min(y1.min(), y2.min()) - 0.5)))
     ymax = min(height - 1, int(math.ceil(max(y1.max(), y2.max()))))
+    if ymax < ymin:
+        return out
 
-    for row in range(ymin, ymax + 1):
-        yc = row + 0.5
-        crossing = (y1 > yc) != (y2 > yc)
-        if not crossing.any():
-            continue
-        xs = x1[crossing] + (yc - y1[crossing]) * (x2[crossing] - x1[crossing]) / (y2[crossing] - y1[crossing])
-        xs.sort()
-        for k in range(0, len(xs) - 1, 2):
-            lo = int(math.ceil(xs[k] - 0.5))
-            hi = int(math.floor(xs[k + 1] - 0.5))
-            if hi < 0 or lo >= width:
-                continue
-            out[row, max(lo, 0) : min(hi, width - 1) + 1] = value
+    rows = np.arange(ymin, ymax + 1)
+    yc = rows + 0.5
+
+    # Every (row, edge) crossing at once.
+    crossing = (y1[None, :] > yc[:, None]) != (y2[None, :] > yc[:, None])
+    r_idx, e_idx = np.nonzero(crossing)
+    if len(r_idx) == 0:
+        return out
+    xs = x1[e_idx] + (yc[r_idx] - y1[e_idx]) * (x2[e_idx] - x1[e_idx]) / (y2[e_idx] - y1[e_idx])
+
+    # Sort by (row, x); even-odd rings cross each scanline an even number of
+    # times, so consecutive pairs within a row bound the fill spans.
+    order = np.lexsort((xs, r_idx))
+    r_sorted = r_idx[order]
+    x_sorted = xs[order]
+    row_start = np.r_[0, np.flatnonzero(np.diff(r_sorted)) + 1]
+    counts = np.diff(np.r_[row_start, len(r_sorted)])
+    pos = np.arange(len(r_sorted)) - np.repeat(row_start, counts)
+
+    lo_mask = pos % 2 == 0
+    # Guard an odd trailing crossing (numerically degenerate ring): drop it.
+    span_rows = r_sorted[lo_mask]
+    lo = np.ceil(x_sorted[lo_mask] - 0.5).astype(np.int64)
+    hi_all = np.floor(x_sorted[~lo_mask] - 0.5).astype(np.int64)
+    if len(hi_all) < len(lo):
+        lo = lo[: len(hi_all)]
+        span_rows = span_rows[: len(hi_all)]
+    hi = hi_all[: len(lo)]
+
+    ok = (hi >= 0) & (lo < width)
+    lo = np.clip(lo[ok], 0, width - 1)
+    hi = np.clip(hi[ok], 0, width - 1)
+    span_rows = span_rows[ok]
+    ok = lo <= hi
+    lo, hi, span_rows = lo[ok], hi[ok], span_rows[ok]
+    if len(lo) == 0:
+        return out
+
+    # Difference-array fill: +1 at span start, -1 past span end, cumsum.
+    diff = np.zeros((ymax - ymin + 1, width + 1), dtype=np.int32)
+    np.add.at(diff, (span_rows, lo), 1)
+    np.add.at(diff, (span_rows, hi + 1), -1)
+    inside = np.cumsum(diff[:, :-1], axis=1) > 0
+    out[ymin : ymax + 1][inside] = value
     return out
 
 

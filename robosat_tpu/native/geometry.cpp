@@ -12,7 +12,9 @@
 //   rs_free(ptr)
 //
 // Geometries arrive as flat coordinate arrays + ring lengths; op codes:
-// 0=union, 1=intersection, 2=difference, 3=xor.
+// 0=union, 1=intersection, 2=difference, 3=xor, 4=nunion (N-ary winding-rule
+// union of operand a's rings — shells CCW, holes CW; covered where the
+// winding number is positive; operand b must be empty).
 
 #include <algorithm>
 #include <array>
@@ -90,6 +92,17 @@ double param_on(const Pt& p, const Pt& s1, const Pt& s2) {
     return (t > 0.0 && t < 1.0) ? t : -1.0;
 }
 
+// Parameter of p along [s1, s2] when p lies within q of the segment; <0
+// otherwise. Snap-rounding T-junction weld (mirrors _param_near_segment).
+double param_near(const Pt& p, const Pt& s1, const Pt& s2, double q) {
+    double dx = s2.x - s1.x, dy = s2.y - s1.y;
+    double len2 = dx * dx + dy * dy;
+    if (len2 == 0.0) return -1.0;
+    double cross = dx * (p.y - s1.y) - dy * (p.x - s1.x);
+    if (cross * cross > q * q * len2) return -1.0;
+    return param_on(p, s1, s2);
+}
+
 bool pred(int op, bool a, bool b) {
     switch (op) {
         case 0: return a || b;
@@ -153,8 +166,9 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     struct Box { double x0, y0, x1, y1; };
     std::vector<Box> boxes(n);
     for (size_t i = 0; i < n; i++) {
-        boxes[i] = Box{std::min(segs[i].p.x, segs[i].q.x), std::min(segs[i].p.y, segs[i].q.y),
-                       std::max(segs[i].p.x, segs[i].q.x), std::max(segs[i].p.y, segs[i].q.y)};
+        // Inflated by q so near-miss T-junctions pass the prefilter.
+        boxes[i] = Box{std::min(segs[i].p.x, segs[i].q.x) - q, std::min(segs[i].p.y, segs[i].q.y) - q,
+                       std::max(segs[i].p.x, segs[i].q.x) + q, std::max(segs[i].p.y, segs[i].q.y) + q};
     }
     std::vector<size_t> order(n);
     for (size_t i = 0; i < n; i++) order[i] = i;
@@ -182,6 +196,15 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 double t = param_on(sp, segs[j].p, segs[j].q);
                 if (t > 0.0) splits[j].insert({t, sp});
             }
+            // Weld endpoints onto segments passing within the snap quantum.
+            for (const Pt& v : {segs[j].p, segs[j].q}) {
+                double t = param_near(v, segs[i].p, segs[i].q, q);
+                if (t > 0.0) splits[i].insert({t, v});
+            }
+            for (const Pt& v : {segs[i].p, segs[i].q}) {
+                double t = param_near(v, segs[j].p, segs[j].q, q);
+                if (t > 0.0) splits[j].insert({t, v});
+            }
         }
     }
 
@@ -198,14 +221,21 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
         }
     };
     std::unordered_map<std::pair<Pt, Pt>, std::pair<int, int>, KeyHash, KeyEq> merged;
+    bool winding = (op == 4);
     for (size_t i = 0; i < n; i++) {
         Pt prev = segs[i].p;
         auto flush = [&](const Pt& a, const Pt& b) {
             if (a == b) return;
             auto key = (a < b) ? std::make_pair(a, b) : std::make_pair(b, a);
             auto& par = merged[key];
-            par.first ^= segs[i].pa;
-            par.second ^= segs[i].pb;
+            if (winding) {
+                // Signed winding weight relative to the canonical key order
+                // (mirrors _canonical_segments_signed in clip.py).
+                par.first += (a < b) ? 1 : -1;
+            } else {
+                par.first ^= segs[i].pa;
+                par.second ^= segs[i].pb;
+            }
         };
         for (const auto& [t, sp] : splits[i]) {
             flush(prev, sp);
@@ -265,11 +295,19 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
         std::sort(active.begin(), active.end(), [](const Active& a, const Active& b) { return a.ym < b.ym; });
 
         bool in_a = false, in_b = false;
+        int wind = 0;
         for (size_t idx = 0; idx + 1 < active.size(); idx++) {
             const Active& cur = active[idx];
-            if (cur.pa) in_a = !in_a;
-            if (cur.pb) in_b = !in_b;
-            if (!pred(op, in_a, in_b)) continue;
+            bool covered;
+            if (winding) {
+                wind += cur.pa;
+                covered = wind > 0;
+            } else {
+                if (cur.pa) in_a = !in_a;
+                if (cur.pb) in_b = !in_b;
+                covered = pred(op, in_a, in_b);
+            }
+            if (!covered) continue;
             const Active& nxt = active[idx + 1];
             result.area += (x1 - x0) * (nxt.ym - cur.ym);
             if (want_edges) {

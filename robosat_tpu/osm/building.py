@@ -1,52 +1,44 @@
 """Building extraction from OSM ways.
 
-Contract parity: robosat/osm/building.py (building=* minus invisible types
-and underground/underwater locations, validity-checked polygons).
+Contract parity: robosat/osm/building.py — keep building=* ways except
+structure and location types not visible from above, emit validity-checked
+polygons.
 """
 
-import sys
-
-from robosat_tpu.geo import geojson
-from robosat_tpu.geo.geometry import shape
-from robosat_tpu.osm.core import FeatureStorage, is_polygon
+from robosat_tpu.osm.core import FeatureStorage, is_polygon, way_to_polygon_feature
 from robosat_tpu.osm.pbf import SimpleHandler
+
+# building=* values hidden from aerial imagery (robosat/osm/building.py:15-17).
+INVISIBLE_BUILDINGS = frozenset(
+    {"construction", "houseboat", "static_caravan", "stadium", "conservatory", "digester", "greenhouse", "ruins"}
+)
+
+# location=* values hidden from aerial imagery (robosat/osm/building.py:20).
+INVISIBLE_LOCATIONS = frozenset({"underground", "underwater"})
+
+
+def wanted(tags):
+    """Tag predicate: is this way a building visible from above?"""
+    building = tags.get("building")
+    if building is None or building in INVISIBLE_BUILDINGS:
+        return False
+    return tags.get("location") not in INVISIBLE_LOCATIONS
 
 
 class BuildingHandler(SimpleHandler):
-    # building=* values not visible in satellite imagery.
-    building_filter = {
-        "construction",
-        "houseboat",
-        "static_caravan",
-        "stadium",
-        "conservatory",
-        "digester",
-        "greenhouse",
-        "ruins",
-    }
-
-    # location=* values not visible in satellite imagery.
-    location_filter = {"underground", "underwater"}
+    building_filter = INVISIBLE_BUILDINGS  # reference-compatible aliases
+    location_filter = INVISIBLE_LOCATIONS
 
     def __init__(self, out, batch):
         super().__init__()
         self.storage = FeatureStorage(out, batch)
 
     def way(self, w):
-        if not is_polygon(w):
+        if not (is_polygon(w) and wanted(w.tags)):
             return
-        if "building" not in w.tags:
-            return
-        if w.tags["building"] in self.building_filter:
-            return
-        if w.tags.get("location") in self.location_filter:
-            return
-
-        geometry = geojson.polygon_geometry([[(n.lon, n.lat) for n in w.nodes]])
-        if shape(geometry).is_valid:
-            self.storage.add(geojson.feature(geometry))
-        else:
-            print("Warning: invalid feature: https://www.openstreetmap.org/way/{}".format(w.id), file=sys.stderr)
+        feature = way_to_polygon_feature(w)
+        if feature is not None:
+            self.storage.add(feature)
 
     def flush(self):
         self.storage.flush()

@@ -43,3 +43,20 @@ def is_polygon(way):
     """A way can close into a polygon ring: closed, >= 4 nodes including the
     repeated endpoint. (Geometric validity is checked separately.)"""
     return way.is_closed() and len(way.nodes) >= 4
+
+
+def way_to_polygon_feature(way):
+    """Build a validity-checked GeoJSON polygon feature from a closed way.
+
+    Returns None (warning on stderr, robosat/osm/parking.py:39 behavior) when
+    the ring is geometrically invalid — self-intersecting, zero-area, etc.
+    """
+    import sys
+
+    from robosat_tpu.geo.geometry import shape
+
+    geometry = geojson.polygon_geometry([[(n.lon, n.lat) for n in way.nodes]])
+    if not shape(geometry).is_valid:
+        print("Warning: invalid feature: https://www.openstreetmap.org/way/{}".format(way.id), file=sys.stderr)
+        return None
+    return geojson.feature(geometry)

@@ -4,7 +4,8 @@ Contract parity with robosat/tools/rasterize.py: features projected to
 EPSG:3857, burned (value 1) over each CSV tile's xy bounds at the requested
 size, np.maximum-merged with any existing tile file, written as palette PNGs
 using the dataset's two colors. Uses the in-repo rasterizer and tile covering
-instead of rasterio/supermercado.
+instead of rasterio/supermercado — output is pixel-identical to rasterio on
+the reference's real fixtures (tests/test_reference_fixtures.py).
 """
 
 import argparse
@@ -44,7 +45,8 @@ def feature_to_mercator(feature):
     """Yield a feature's polygon geometries with EPSG:3857 coordinates.
 
     Parity: robosat/tools/rasterize.py:38-61 (MultiPolygons split into
-    Polygons).
+    Polygons); the projection is the in-repo closed form, vectorized over
+    each ring at once.
     """
     geometry = feature["geometry"]
 
@@ -66,49 +68,70 @@ def burn(tile, features, size):
     return rasterize_polygons(shapes, (size, size), tilemath.xy_bounds(tile))
 
 
-def main(args):
-    dataset = load_config(args.dataset)
+def features_by_tile(features, zoom):
+    """Index Polygon features by the zoom-`zoom` tiles they cover.
 
-    classes = dataset["common"]["classes"]
-    colors = dataset["common"]["colors"]
-    assert len(classes) == len(colors), "classes and colors coincide"
-    assert len(colors) == 2, "only binary models supported right now"
-    bg, fg = colors
-
-    os.makedirs(args.out, exist_ok=True)
-
-    assert all(tile.z == args.zoom for tile in tiles_from_csv(args.tiles)), "tiles at the requested zoom"
-
-    with open(args.features) as f:
-        fc = json.load(f)
-
-    # Map tiles -> covering features for quick lookup.
-    feature_map = collections.defaultdict(list)
-    for i, feature in enumerate(tqdm(fc["features"], ascii=True, unit="feature")):
+    Non-Polygon geometries are ignored; degenerate features are skipped with
+    a warning, matching robosat/tools/rasterize.py:106-117.
+    """
+    index = collections.defaultdict(list)
+    for n, feature in enumerate(tqdm(features, ascii=True, unit="feature")):
         if feature["geometry"]["type"] != "Polygon":
             continue
         try:
-            for tile in burn_tiles(feature, args.zoom):
-                feature_map[tile].append(feature)
+            covered = burn_tiles(feature, zoom)
         except ValueError:
-            print("Warning: invalid feature {}, skipping".format(i), file=sys.stderr)
+            print("Warning: invalid feature {}, skipping".format(n), file=sys.stderr)
+            continue
+        for tile in covered:
+            index[tile].append(feature)
+    return index
 
-    palette = make_palette(bg, fg)
 
-    for tile in tqdm(list(tiles_from_csv(args.tiles)), ascii=True, unit="tile"):
-        if tile in feature_map:
-            out = burn(tile, feature_map[tile], args.size)
-        else:
-            out = np.zeros(shape=(args.size, args.size), dtype=np.uint8)
+class LabelSink:
+    """Writes label masks as palette PNGs into a slippy-map tree.
 
-        out_dir = os.path.join(args.out, str(tile.z), str(tile.x))
-        os.makedirs(out_dir, exist_ok=True)
-        out_path = os.path.join(out_dir, "{}.png".format(tile.y))
+    A tile already on disk is np.maximum-merged with the incoming mask so
+    successive rasterize passes over different feature sets compose
+    (robosat/tools/rasterize.py:131-133).
+    """
 
-        if os.path.exists(out_path):
-            prev = np.array(Image.open(out_path))
-            out = np.maximum(out, prev)
+    def __init__(self, root, background, foreground):
+        self.root = root
+        self.palette = make_palette(background, foreground)
 
-        img = Image.fromarray(out, mode="P")
-        img.putpalette(palette)
-        img.save(out_path, optimize=True)
+    def write(self, tile, mask):
+        directory = os.path.join(self.root, str(tile.z), str(tile.x))
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, "{}.png".format(tile.y))
+
+        if os.path.exists(path):
+            mask = np.maximum(mask, np.array(Image.open(path)))
+
+        png = Image.fromarray(mask, mode="P")
+        png.putpalette(self.palette)
+        png.save(path, optimize=True)
+
+
+def main(args):
+    config = load_config(args.dataset)["common"]
+    if len(config["classes"]) != len(config["colors"]):
+        sys.exit("Error: dataset classes and colors must pair up")
+    if len(config["colors"]) != 2:
+        sys.exit("Error: rasterize handles binary (two-class) datasets only")
+
+    tiles = list(tiles_from_csv(args.tiles))
+    if any(tile.z != args.zoom for tile in tiles):
+        sys.exit("Error: tiles.csv contains tiles outside zoom {}".format(args.zoom))
+
+    with open(args.features) as f:
+        collection = json.load(f)
+    index = features_by_tile(collection["features"], args.zoom)
+
+    os.makedirs(args.out, exist_ok=True)
+    sink = LabelSink(args.out, *config["colors"])
+    blank = np.zeros((args.size, args.size), dtype=np.uint8)
+
+    for tile in tqdm(tiles, ascii=True, unit="tile"):
+        covering = index.get(tile)
+        sink.write(tile, burn(tile, covering, args.size) if covering else blank)
