@@ -21,12 +21,16 @@ from robosat_tpu.geo import clip
 from robosat_tpu.geo.geometry import LineString, MultiPolygon, Polygon
 
 
+_UNIT_DISCS = {}
+
+
 def _disc(center, radius, quad_segs):
     n = max(4 * quad_segs, 4)
-    angles = np.arange(n) * (2.0 * math.pi / n)
-    return np.stack(
-        [center[0] + radius * np.cos(angles), center[1] + radius * np.sin(angles)], axis=1
-    )
+    unit = _UNIT_DISCS.get(n)
+    if unit is None:
+        angles = np.arange(n) * (2.0 * math.pi / n)
+        unit = _UNIT_DISCS[n] = np.stack([np.cos(angles), np.sin(angles)], axis=1)
+    return np.asarray(center, dtype=np.float64) + radius * unit
 
 
 def _edge_quad(p1, p2, radius):
@@ -91,12 +95,12 @@ def buffer_geometry(geom, distance, quad_segs=8):
                 pieces.extend(_path_pieces(np.asarray(ring, dtype=np.float64), distance, quad_segs, closed=True))
         return clip.union_all(pieces)
 
-    # Negative buffer: erosion = P \ dilate(boundary(P), |distance|).
+    # Negative buffer: erosion = P \ dilate(boundary(P), |distance|), with
+    # base membership and halo winding tested in one overlay (clip.erode).
     r = -distance
     base = MultiPolygon(list(polys))
     boundary_pieces = []
     for p in polys:
         for ring in p.rings:
             boundary_pieces.extend(_path_pieces(np.asarray(ring, dtype=np.float64), r, quad_segs, closed=True))
-    halo = clip.union_all(boundary_pieces)
-    return clip.difference(base, halo)
+    return clip.erode(base, boundary_pieces)

@@ -116,6 +116,19 @@ def _canonical_segments_signed(segs):
     return [(p1, p2, w, 0) for (p1, p2), w in weight.items() if w != 0]
 
 
+def _canonical_segments_erode(segs):
+    """Merge coincident segments for the erode op: even-odd parity for the
+    base (tag 0), signed winding weight for the halo (tag 1)."""
+    acc = defaultdict(lambda: [0, 0])
+    for p1, p2, tag in segs:
+        key, direction = ((p1, p2), 1) if p1 <= p2 else ((p2, p1), -1)
+        if tag == 0:
+            acc[key][0] ^= 1
+        else:
+            acc[key][1] += direction
+    return [(p1, p2, pa, wb) for (p1, p2), (pa, wb) in acc.items() if pa or wb]
+
+
 def _seg_split_points(a1, a2, b1, b2):
     """Points where segment b should split segment a (and vice versa).
 
@@ -279,37 +292,71 @@ def _overlay_union(rings, want_geometry):
     return _sweep(segs, q, "nunion", want_geometry)
 
 
+def _overlay_erode(base_rings, halo_rings, want_geometry):
+    """base (even-odd) minus the winding>0 union of halo rings, ONE overlay.
+
+    Erosion = P \\ dilate(boundary(P), r): instead of materializing the halo
+    union (an annulus whose assembly is the most fragile and expensive shape
+    in the pipeline) and then differencing, both membership tests run in the
+    same sweep: covered where inside-base and halo winding == 0.
+    """
+    q = _snap_quantum(base_rings, halo_rings)
+    segs = _segments_from_rings(base_rings, 0, q) + _segments_from_rings(halo_rings, 1, q)
+    if not segs:
+        return 0.0, []
+    segs = _split_all_segments(segs, q)
+    segs = _canonical_segments_erode(segs)
+    return _sweep(segs, q, "erode", want_geometry)
+
+
 def _sweep(segs, q, op, want_geometry):
     """Slab sweep over canonical segments. Returns (area, edge soup or None).
 
     For the even-odd ops, segment payloads (da, db) are parity toggles per
-    operand; for "nunion" da is a signed winding weight (db unused).
+    operand; for "nunion" da is a signed winding weight (db unused); for
+    "erode" da is the base parity toggle and db the halo winding weight.
     """
     winding = op == "nunion"
-    pred = None if winding else _PREDICATES[op]
+    erode_mode = op == "erode"
+    pred = None if (winding or erode_mode) else _PREDICATES[op]
 
-    # Non-vertical spanning segments; all endpoint xs define the slabs.
+    # Non-vertical spanning segments (lo->hi in +x), sorted by entry x so the
+    # slab loop maintains an active list instead of rescanning every span.
     xs = sorted({p[0] for s in segs for p in (s[0], s[1])})
-    spans = [(p1, p2, pa, pb) for p1, p2, pa, pb in segs if p1[0] != p2[0]]
+    spans = sorted(
+        (
+            ((p1, p2, pa, pb) if p1[0] < p2[0] else (p2, p1, pa, pb))
+            for p1, p2, pa, pb in segs
+            if p1[0] != p2[0]
+        ),
+        key=lambda s: s[0][0],
+    )
 
     total_area = 0.0
     edges = [] if want_geometry else None  # directed, interior on left
     vertical = defaultdict(list) if want_geometry else None  # x -> (ylo, yhi, sign)
 
+    ptr = 0
+    current = []
     for k in range(len(xs) - 1):
         x0, x1 = xs[k], xs[k + 1]
         if x1 <= x0:
             continue
+        while ptr < len(spans) and spans[ptr][0][0] <= x0:
+            current.append(spans[ptr])
+            ptr += 1
+        # A span whose right end is behind x1 never spans a later slab either.
+        current = [s for s in current if s[1][0] >= x1]
+
         xm = 0.5 * (x0 + x1)
         active = []
-        for p1, p2, pa, pb in spans:
-            lo, hi = (p1, p2) if p1[0] < p2[0] else (p2, p1)
-            if lo[0] <= x0 and hi[0] >= x1:
-                t = (xm - lo[0]) / (hi[0] - lo[0])
-                ym = lo[1] + t * (hi[1] - lo[1])
-                y0 = lo[1] + (x0 - lo[0]) / (hi[0] - lo[0]) * (hi[1] - lo[1])
-                y1 = lo[1] + (x1 - lo[0]) / (hi[0] - lo[0]) * (hi[1] - lo[1])
-                active.append((ym, y0, y1, pa, pb))
+        for lo, hi, pa, pb in current:
+            dx = hi[0] - lo[0]
+            dy = hi[1] - lo[1]
+            ym = lo[1] + (xm - lo[0]) / dx * dy
+            y0 = lo[1] + (x0 - lo[0]) / dx * dy
+            y1 = lo[1] + (x1 - lo[0]) / dx * dy
+            active.append((ym, y0, y1, pa, pb))
         if not active:
             continue
         active.sort(key=lambda e: e[0])
@@ -320,6 +367,10 @@ def _sweep(segs, q, op, want_geometry):
             if winding:
                 in_a += pa
                 covered = in_a > 0
+            elif erode_mode:
+                in_a ^= pa
+                in_b += pb
+                covered = bool(in_a) and in_b == 0
             else:
                 in_a ^= pa
                 in_b ^= pb
@@ -553,9 +604,8 @@ def boolean_op(geom_a, geom_b, op):
     if lib is not None:
         from robosat_tpu import native
 
-        directed = native.overlay_edges(rings_a, rings_b, op)
-    else:
-        _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
+        return _assemble_polygons(native.overlay_rings(rings_a, rings_b, op), q)
+    _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
     return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 
 
@@ -614,9 +664,30 @@ def union_all(geoms):
     if lib is not None:
         from robosat_tpu import native
 
-        directed = native.overlay_edges(rings, [], "nunion")
-    else:
-        _, directed = _overlay_union(rings, want_geometry=True)
+        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), q)
+    _, directed = _overlay_union(rings, want_geometry=True)
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+
+
+def erode(geom, halo_pieces):
+    """`geom` minus the union of `halo_pieces`, in ONE overlay.
+
+    Semantically identical to difference(geom, union_all(halo_pieces)) for
+    valid inputs but skips materializing the halo union — the sweep tests
+    base membership (even-odd) and halo winding together.
+    """
+    base_rings = _collect_rings(geom)
+    halo_rings = _canonical_union_rings(halo_pieces)
+    if not halo_rings:
+        return boolean_op(geom, None, "union")
+    q = _snap_quantum(base_rings, halo_rings)
+
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        return _assemble_polygons(native.overlay_rings(base_rings, halo_rings, "erode"), q)
+    _, directed = _overlay_erode(base_rings, halo_rings, want_geometry=True)
     return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 
 

@@ -31,8 +31,9 @@ def ring_area(ring):
     if len(ring) < 3:
         return 0.0
     x, y = ring[:, 0], ring[:, 1]
-    xn, yn = np.roll(x, -1), np.roll(y, -1)
-    return 0.5 * float(np.sum(x * yn - xn * y))
+    # Shoelace with the wrap term split out (no np.roll copies).
+    area2 = np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]) + x[-1] * y[0] - x[0] * y[-1]
+    return 0.5 * float(area2)
 
 
 def ring_is_simple(ring):

@@ -19,7 +19,7 @@ _LIB = os.path.join(os.path.dirname(__file__), "_geometry.so")
 _lib = None
 _tried = False
 
-_OPS = {"union": 0, "intersection": 1, "difference": 2, "xor": 3, "nunion": 4}
+_OPS = {"union": 0, "intersection": 1, "difference": 2, "xor": 3, "nunion": 4, "erode": 5}
 
 
 def _build():
@@ -46,6 +46,11 @@ def load():
         ]
         lib.rs_overlay_edges.restype = ctypes.POINTER(ctypes.c_double)
         lib.rs_overlay_edges.argtypes = lib.rs_overlay_area.argtypes + [ctypes.POINTER(ctypes.c_int64)]
+        lib.rs_overlay_rings.restype = ctypes.POINTER(ctypes.c_double)
+        lib.rs_overlay_rings.argtypes = lib.rs_overlay_area.argtypes + [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.rs_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as exc:  # fall back to pure Python
@@ -95,3 +100,28 @@ def overlay_edges(rings_a, rings_b, op):
         lib.rs_free(ptr)
     edges = flat.reshape(-1, 4)
     return [((e[0], e[1]), (e[2], e[3])) for e in edges]
+
+
+def overlay_rings(rings_a, rings_b, op):
+    """Native overlay -> welded + linked boundary rings as (N, 2) arrays."""
+    lib = load()
+    assert lib is not None
+    ca, la, na, keep_a = _pack(rings_a)  # noqa: F841
+    cb, lb, nb, keep_b = _pack(rings_b)  # noqa: F841
+    lens_ptr = ctypes.POINTER(ctypes.c_int32)()
+    n_rings = ctypes.c_int64(0)
+    coords_ptr = lib.rs_overlay_rings(ca, la, na, cb, lb, nb, _OPS[op], ctypes.byref(lens_ptr), ctypes.byref(n_rings))
+    try:
+        if n_rings.value == 0:
+            return []
+        lens = np.ctypeslib.as_array(lens_ptr, shape=(n_rings.value,)).copy()
+        total = int(lens.sum())
+        coords = np.ctypeslib.as_array(coords_ptr, shape=(total * 2,)).copy().reshape(-1, 2)
+    finally:
+        lib.rs_free(coords_ptr)
+        lib.rs_free(lens_ptr)
+    rings, off = [], 0
+    for n in lens:
+        rings.append(coords[off : off + int(n)])
+        off += int(n)
+    return rings

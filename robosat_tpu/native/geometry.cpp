@@ -114,6 +114,7 @@ bool pred(int op, bool a, bool b) {
 
 struct Overlay {
     double area = 0.0;
+    double q = 0.0;             // snap quantum used
     std::vector<double> edges;  // x1,y1,x2,y2 per directed edge
 };
 
@@ -137,6 +138,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     if (!std::isfinite(lo)) return result;
     double extent = std::max(std::max(hi - lo, std::fabs(hi)), std::max(std::fabs(lo), 1e-30));
     double q = extent * 1e-10;
+    result.q = q;
 
     // Snapped segments with per-tag parity.
     std::vector<Seg> segs;
@@ -222,6 +224,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     };
     std::unordered_map<std::pair<Pt, Pt>, std::pair<int, int>, KeyHash, KeyEq> merged;
     bool winding = (op == 4);
+    bool erode_mode = (op == 5);
     for (size_t i = 0; i < n; i++) {
         Pt prev = segs[i].p;
         auto flush = [&](const Pt& a, const Pt& b) {
@@ -232,6 +235,11 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 // Signed winding weight relative to the canonical key order
                 // (mirrors _canonical_segments_signed in clip.py).
                 par.first += (a < b) ? 1 : -1;
+            } else if (erode_mode) {
+                // Base (tag a): even-odd parity; halo (tag b): signed winding
+                // (mirrors _canonical_segments_erode in clip.py).
+                if (segs[i].pa) par.first ^= 1;
+                else par.second += (a < b) ? 1 : -1;
             } else {
                 par.first ^= segs[i].pa;
                 par.second ^= segs[i].pb;
@@ -266,30 +274,38 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     std::sort(xs_v.begin(), xs_v.end());
     xs_v.erase(std::unique(xs_v.begin(), xs_v.end()), xs_v.end());
 
-    // Slab sweep.
+    // Slab sweep with an active list: spans sorted by entry x are admitted
+    // once and compacted out once their right end falls behind the slab.
     struct Active { double ym, y0, y1; int pa, pb; };
     std::vector<Active> active;
     std::map<double, std::vector<std::array<double, 3>>> vertical;  // x -> (ylo,yhi,sign)
 
-    // Sort spans by lo.x so each slab scans a window (still O(slabs*spans)
-    // worst case; spans are few after D&C unions keep overlays small).
+    std::sort(spans.begin(), spans.end(), [](const Span& a, const Span& b) { return a.lo.x < b.lo.x; });
+    size_t ptr = 0;
+    std::vector<const Span*> current;
     for (size_t k = 0; k + 1 < xs_v.size(); k++) {
         double x0 = xs_v[k], x1 = xs_v[k + 1];
         if (x1 <= x0) continue;
+        while (ptr < spans.size() && spans[ptr].lo.x <= x0) current.push_back(&spans[ptr++]);
+        // A span ending before x1 never spans a later slab either.
+        size_t w = 0;
+        for (size_t r = 0; r < current.size(); r++)
+            if (current[r]->hi.x >= x1) current[w++] = current[r];
+        current.resize(w);
+
         double xm = 0.5 * (x0 + x1);
         active.clear();
-        for (const Span& s : spans) {
-            if (s.lo.x <= x0 && s.hi.x >= x1) {
-                double dx = s.hi.x - s.lo.x;
-                double dy = s.hi.y - s.lo.y;
-                Active a;
-                a.ym = s.lo.y + (xm - s.lo.x) / dx * dy;
-                a.y0 = s.lo.y + (x0 - s.lo.x) / dx * dy;
-                a.y1 = s.lo.y + (x1 - s.lo.x) / dx * dy;
-                a.pa = s.pa;
-                a.pb = s.pb;
-                active.push_back(a);
-            }
+        for (const Span* sp_ptr : current) {
+            const Span& s = *sp_ptr;
+            double dx = s.hi.x - s.lo.x;
+            double dy = s.hi.y - s.lo.y;
+            Active a;
+            a.ym = s.lo.y + (xm - s.lo.x) / dx * dy;
+            a.y0 = s.lo.y + (x0 - s.lo.x) / dx * dy;
+            a.y1 = s.lo.y + (x1 - s.lo.x) / dx * dy;
+            a.pa = s.pa;
+            a.pb = s.pb;
+            active.push_back(a);
         }
         if (active.empty()) continue;
         std::sort(active.begin(), active.end(), [](const Active& a, const Active& b) { return a.ym < b.ym; });
@@ -302,6 +318,10 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             if (winding) {
                 wind += cur.pa;
                 covered = wind > 0;
+            } else if (erode_mode) {
+                if (cur.pa) in_a = !in_a;
+                wind += cur.pb;
+                covered = in_a && wind == 0;
             } else {
                 if (cur.pa) in_a = !in_a;
                 if (cur.pb) in_b = !in_b;
@@ -363,6 +383,160 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     return result;
 }
 
+// ---- Vertex welding + ring linking (ports of clip.py's _weld_edges and
+// _link_rings; keeps the expensive per-junction work out of Python). ----
+
+struct CellKey {
+    long long x, y;
+    bool operator==(const CellKey& o) const { return x == o.x && y == o.y; }
+};
+struct CellHash {
+    size_t operator()(const CellKey& k) const {
+        return std::hash<long long>()(k.x * 1000003ll ^ k.y);
+    }
+};
+
+struct LinkedRings {
+    std::vector<double> coords;  // x,y flattened over all rings
+    std::vector<int32_t> lens;   // vertices per ring
+};
+
+// Non-compounding collinear simplification (port of _simplify_collinear):
+// drop a vertex only while it stays within 2q of the chord from the last
+// KEPT vertex to its successor, so drift from the true boundary stays O(q).
+std::vector<Pt> simplify_collinear(const std::vector<Pt>& ring, double q) {
+    if (ring.size() < 3) return {};
+    double tol = 2.0 * q;
+    auto within = [&](const Pt& a, const Pt& b, const Pt& c) {
+        double acx = c.x - a.x, acy = c.y - a.y;
+        double chord = std::hypot(acx, acy);
+        if (chord == 0.0) return true;  // spike a -> b -> a
+        double cross = (b.x - a.x) * acy - (b.y - a.y) * acx;
+        return std::fabs(cross) / chord <= tol;
+    };
+    size_t n = ring.size();
+    std::vector<Pt> kept;
+    kept.push_back(ring[0]);
+    for (size_t i = 1; i < n; i++) {
+        if (!within(kept.back(), ring[i], ring[(i + 1) % n])) kept.push_back(ring[i]);
+    }
+    for (int pass = 0; pass < 2; pass++) {
+        if (kept.size() >= 3 && within(kept.back(), kept[0], kept[1])) kept.erase(kept.begin());
+        if (kept.size() >= 3 && within(kept[kept.size() - 2], kept.back(), kept[0])) kept.pop_back();
+    }
+    if (kept.size() < 3) kept.clear();
+    return kept;
+}
+
+LinkedRings link_rings(const std::vector<double>& edge_soup, double q) {
+    LinkedRings out;
+    double tol = 1.5 * q;
+    if (tol <= 0.0) return out;
+
+    // Weld endpoints within ~tol to one representative (greedy grid hash).
+    std::unordered_map<CellKey, std::vector<Pt>, CellHash> buckets;
+    std::unordered_map<Pt, Pt, PtHash> reps;
+    auto rep_for = [&](const Pt& v) -> Pt {
+        auto it = reps.find(v);
+        if (it != reps.end()) return it->second;
+        long long kx = (long long)std::llround(v.x / tol);
+        long long ky = (long long)std::llround(v.y / tol);
+        for (long long dx = -1; dx <= 1; dx++) {
+            for (long long dy = -1; dy <= 1; dy++) {
+                auto b = buckets.find(CellKey{kx + dx, ky + dy});
+                if (b == buckets.end()) continue;
+                for (const Pt& u : b->second) {
+                    if (std::fabs(u.x - v.x) <= tol && std::fabs(u.y - v.y) <= tol) {
+                        Pt r = reps[u];
+                        reps[v] = r;
+                        buckets[CellKey{kx, ky}].push_back(v);
+                        return r;
+                    }
+                }
+            }
+        }
+        reps[v] = v;
+        buckets[CellKey{kx, ky}].push_back(v);
+        return v;
+    };
+
+    struct KeyHash2 {
+        size_t operator()(const std::pair<Pt, Pt>& k) const {
+            PtHash h;
+            return h(k.first) * 31 ^ h(k.second);
+        }
+    };
+    struct KeyEq2 {
+        bool operator()(const std::pair<Pt, Pt>& a, const std::pair<Pt, Pt>& b) const {
+            return a.first == b.first && a.second == b.second;
+        }
+    };
+    std::unordered_map<std::pair<Pt, Pt>, int, KeyHash2, KeyEq2> net;
+    for (size_t i = 0; i + 3 < edge_soup.size(); i += 4) {
+        Pt r1 = rep_for(Pt{edge_soup[i], edge_soup[i + 1]});
+        Pt r2 = rep_for(Pt{edge_soup[i + 2], edge_soup[i + 3]});
+        if (r1 == r2) continue;
+        if (r1 < r2) net[{r1, r2}] += 1;
+        else net[{r2, r1}] -= 1;
+    }
+    std::vector<std::pair<Pt, Pt>> directed;
+    for (const auto& [key, count] : net) {
+        for (int c = 0; c < std::abs(count); c++) {
+            if (count > 0) directed.push_back({key.first, key.second});
+            else directed.push_back({key.second, key.first});
+        }
+    }
+
+    // Link into rings: follow the sharpest-left-turn (min CCW angle) rule at
+    // every junction (port of _link_rings).
+    std::unordered_map<Pt, std::vector<size_t>, PtHash> out_edges;
+    for (size_t i = 0; i < directed.size(); i++) out_edges[directed[i].first].push_back(i);
+    std::vector<char> used(directed.size(), 0);
+
+    for (size_t start = 0; start < directed.size(); start++) {
+        if (used[start]) continue;
+        std::vector<Pt> ring;
+        size_t edge = start;
+        bool closed = false;
+        for (size_t step = 0; step <= directed.size(); step++) {
+            used[edge] = 1;
+            ring.push_back(directed[edge].first);
+            Pt v = directed[edge].second;
+            if (v == directed[start].first) {
+                closed = true;
+                break;
+            }
+            auto it = out_edges.find(v);
+            if (it == out_edges.end()) break;
+            double base = std::atan2(v.y - directed[edge].first.y, v.x - directed[edge].first.x);
+            double best = 1e30;
+            size_t best_edge = SIZE_MAX;
+            for (size_t cand : it->second) {
+                if (used[cand]) continue;
+                double a = std::atan2(directed[cand].second.y - v.y, directed[cand].second.x - v.x) - base;
+                while (a <= 0) a += 2 * M_PI;
+                while (a > 2 * M_PI) a -= 2 * M_PI;
+                if (a < best) {
+                    best = a;
+                    best_edge = cand;
+                }
+            }
+            if (best_edge == SIZE_MAX) break;
+            edge = best_edge;
+        }
+        if (closed && ring.size() >= 3) {
+            std::vector<Pt> slim = simplify_collinear(ring, q);
+            if (slim.size() < 3) continue;
+            out.lens.push_back((int32_t)slim.size());
+            for (const Pt& p : slim) {
+                out.coords.push_back(p.x);
+                out.coords.push_back(p.y);
+            }
+        }
+    }
+    return out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -382,6 +556,23 @@ double* rs_overlay_edges(const double* coords_a, const int32_t* rings_a, int32_t
     *out_count = (int64_t)(r.edges.size() / 4);
     double* out = (double*)std::malloc(r.edges.size() * sizeof(double));
     if (out) std::copy(r.edges.begin(), r.edges.end(), out);
+    return out;
+}
+
+// Full boolean overlay returning welded+linked rings. Writes the number of
+// rings through out_n_rings and a malloc'd int32 array of per-ring vertex
+// counts through out_lens; returns a malloc'd double array of x,y coords
+// (sum(lens) * 2 values). Caller frees both with rs_free.
+double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                         const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                         int32_t op, int32_t** out_lens, int64_t* out_n_rings) {
+    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
+    LinkedRings linked = link_rings(r.edges, r.q);
+    *out_n_rings = (int64_t)linked.lens.size();
+    *out_lens = (int32_t*)std::malloc(std::max(linked.lens.size(), (size_t)1) * sizeof(int32_t));
+    if (*out_lens) std::copy(linked.lens.begin(), linked.lens.end(), *out_lens);
+    double* out = (double*)std::malloc(std::max(linked.coords.size(), (size_t)1) * sizeof(double));
+    if (out) std::copy(linked.coords.begin(), linked.coords.end(), out);
     return out;
 }
 

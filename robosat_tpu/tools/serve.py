@@ -24,6 +24,10 @@ from robosat_tpu.config import load_config
 from robosat_tpu.device import configure_accelerator
 from robosat_tpu.tiles import fetch_image
 
+# Before/after swipe-compare viewer (capability parity with the reference's
+# Mapbox GL compare template, robosat/tools/templates/map.html:37-80),
+# implemented from scratch on Leaflet: two view-synced maps, the "after" map
+# carrying the segmentation overlay and clipped at a draggable divider.
 MAP_TEMPLATE = """<!DOCTYPE html>
 <html>
 <head>
@@ -33,23 +37,74 @@ MAP_TEMPLATE = """<!DOCTYPE html>
   <link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
   <script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
   <style>
-    html, body, #map {{ height: 100%; margin: 0; }}
-    #opacity {{ position: absolute; top: 10px; right: 10px; z-index: 1000;
-               background: white; padding: 6px 10px; border-radius: 4px; }}
+    html, body {{ height: 100%; margin: 0; overflow: hidden; }}
+    .pane {{ position: absolute; inset: 0; }}
+    #after {{ z-index: 400; }}
+    #swipe {{ position: absolute; top: 0; bottom: 0; width: 4px; z-index: 1000;
+             background: #fff; cursor: ew-resize; box-shadow: 0 0 4px rgba(0,0,0,.5); }}
+    #swipe::after {{ content: "\\2194"; position: absolute; top: 50%; left: 50%;
+                    transform: translate(-50%, -50%); background: #fff;
+                    border-radius: 50%; width: 28px; height: 28px;
+                    text-align: center; line-height: 28px; }}
+    #opacity {{ position: absolute; top: 10px; right: 10px; z-index: 1100;
+               background: white; padding: 6px 10px; border-radius: 4px;
+               font: 13px sans-serif; }}
   </style>
 </head>
 <body>
-  <div id="map"></div>
+  <div id="before" class="pane"></div>
+  <div id="after" class="pane"></div>
+  <div id="swipe"></div>
   <div id="opacity">
     mask <input id="slider" type="range" min="0" max="100" value="60"/>
   </div>
   <script>
-    var map = L.map('map').setView([49.0047, 8.3858], 18);
-    L.tileLayer(
-      'https://api.mapbox.com/styles/v1/mapbox/satellite-v9/tiles/256/{{z}}/{{x}}/{{y}}?access_token={token}',
-      {{ maxZoom: 18, tileSize: {size}, zoomOffset: 0 }}).addTo(map);
+    var imagery = 'https://api.mapbox.com/styles/v1/mapbox/satellite-v9/tiles/256/{{z}}/{{x}}/{{y}}?access_token={token}';
+    var opts = {{ maxZoom: 18, tileSize: {size}, zoomOffset: 0 }};
+
+    var before = L.map('before', {{ zoomControl: true }}).setView([49.0047, 8.3858], 18);
+    var after = L.map('after', {{ zoomControl: false, attributionControl: false }});
+    L.tileLayer(imagery, opts).addTo(before);
+    L.tileLayer(imagery, opts).addTo(after);
     var mask = L.tileLayer('http://127.0.0.1:{port}/{{z}}/{{x}}/{{y}}.png',
-      {{ maxZoom: 18, opacity: 0.6, tileSize: {size} }}).addTo(map);
+      {{ maxZoom: 18, opacity: 0.6, tileSize: {size} }}).addTo(after);
+
+    // Keep the two views locked together (either map can be dragged).
+    var syncing = false;
+    function follow(src, dst) {{
+      src.on('move zoom', function () {{
+        if (syncing) return;
+        syncing = true;
+        dst.setView(src.getCenter(), src.getZoom(), {{ animate: false }});
+        syncing = false;
+      }});
+    }}
+    after.setView(before.getCenter(), before.getZoom());
+    follow(before, after);
+    follow(after, before);
+
+    // The swipe divider clips the after-map to its right side.
+    var divider = document.getElementById('swipe');
+    function setSwipe(x) {{
+      var w = document.body.clientWidth;
+      x = Math.max(0, Math.min(x, w - 4));
+      divider.style.left = x + 'px';
+      document.getElementById('after').style.clipPath =
+        'inset(0 0 0 ' + (x + 2) + 'px)';
+    }}
+    setSwipe(document.body.clientWidth / 2);
+    var dragging = false;
+    divider.addEventListener('pointerdown', function (e) {{
+      dragging = true; divider.setPointerCapture(e.pointerId);
+    }});
+    window.addEventListener('pointermove', function (e) {{
+      if (dragging) setSwipe(e.clientX);
+    }});
+    window.addEventListener('pointerup', function () {{ dragging = false; }});
+    window.addEventListener('resize', function () {{
+      setSwipe(document.body.clientWidth / 2);
+    }});
+
     document.getElementById('slider').oninput = function () {{
       mask.setOpacity(this.value / 100.0);
     }};

@@ -73,6 +73,20 @@ def test_index(served):
     assert headers["Access-Control-Allow-Origin"] == "*"
 
 
+def test_index_is_swipe_compare_viewer(served):
+    """The viewer is a before/after swipe compare (capability parity with the
+    reference template, robosat/tools/templates/map.html:37-80): two synced
+    map panes, a draggable divider clipping the mask overlay, plus an
+    opacity slider."""
+    _, _, body = _get(served + "/")
+    html = body.decode()
+    assert 'id="before"' in html and 'id="after"' in html  # two map panes
+    assert 'id="swipe"' in html and "pointerdown" in html  # draggable divider
+    assert "clipPath" in html  # after-pane clipped at the divider
+    assert "/{z}/{x}/{y}.png" in html  # mask overlay source is this server
+    assert 'id="slider"' in html  # opacity control retained
+
+
 def test_tile_segmentation(served):
     status, headers, body = _get(served + "/18/1/2.png")
     assert status == 200
