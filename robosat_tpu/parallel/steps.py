@@ -72,6 +72,50 @@ def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, pa
     )
 
 
+def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0, pallas_head=True):
+    """Compiled int8 prediction (U-Net only; robosat_tpu.models.int8).
+
+    Folds BN, calibrates per-conv-site activation scales on `calib_raw` (one
+    real uint8 batch), quantizes weights per-channel, and returns
+    (step, qtree): step(qtree, raw) -> quantized fg uint8. The scales bake
+    into the program as constants so every quantize step is a fused epilogue.
+    """
+    import numpy as np
+
+    from robosat_tpu.models import int8 as q8
+
+    folded = jax.jit(model.fold)(params, state)
+    amaxes = np.asarray(jax.jit(lambda f, r: q8.calibration_amaxes(f, normalize(r)))(folded, calib_raw))
+    scales = tuple(q8.scales_from_amaxes(amaxes))
+    qtree = jax.jit(q8.quantize_unet_folded)(folded)
+
+    def step(qtree, raw):
+        x = normalize(raw).astype(jnp.bfloat16)
+        features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16)
+        if pallas_head:
+            from robosat_tpu.ops.pallas_head import fused_prediction_head
+
+            return fused_prediction_head(features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap)
+        from robosat_tpu.models.layers import conv_apply
+
+        logits = conv_apply({"w": qtree["final"]["w"]}, features, stride=1) + qtree["final"]["b"].astype(
+            features.dtype
+        )
+        quantized = softmax_quantize(logits)
+        if overlap:
+            quantized = quantized[:, overlap:-overlap, overlap:-overlap]
+        return quantized
+
+    if mesh is None:
+        return jax.jit(step), qtree
+    jitted = jax.jit(
+        step,
+        in_shardings=(replicated(mesh), batch_sharding(mesh, 4)),
+        out_shardings=batch_sharding(mesh, 3),
+    )
+    return jitted, qtree
+
+
 def make_segment_step(model, mesh=None, compute_dtype=jnp.float32):
     """Compiled hard-mask prediction for serving: raw uint8 -> argmax class uint8."""
 

@@ -92,16 +92,25 @@ def main(args):
     batch_size = -(-batch_items // len(devices)) * len(devices)
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
-    # The Pallas fused head defaults on: besides fusing softmax+digitize it
-    # avoids XLA padding the 2-channel 1x1-conv output to 128 lanes, which
-    # halves the predict program's HBM bytes (see ops/pallas_head.py).
-    predict_step = make_predict_step(
-        model,
-        mesh=mesh,
-        overlap=args.overlap,
-        compute_dtype=compute_dtype,
-        pallas_head=model_config["common"].get("pallas_head", True),
-    )
+    use_pallas = model_config["common"].get("pallas_head", True)
+    # int8 = true in the model TOML runs the whole folded forward quantized
+    # (robosat_tpu/models/int8.py); calibration needs one real batch, so the
+    # step is built lazily inside the loop. U-Net only.
+    int8_mode = model_config["common"].get("int8", False) and model_config["common"].get("model", "unet") == "unet"
+
+    predict_step = None
+    qtree = None
+    if not int8_mode:
+        # The Pallas fused head defaults on: besides fusing softmax+digitize it
+        # avoids XLA padding the 2-channel 1x1-conv output to 128 lanes, which
+        # halves the predict program's HBM bytes (see ops/pallas_head.py).
+        predict_step = make_predict_step(
+            model,
+            mesh=mesh,
+            overlap=args.overlap,
+            compute_dtype=compute_dtype,
+            pallas_head=use_pallas,
+        )
     params = replicate(mesh, params)
     state = replicate(mesh, state)
 
@@ -128,8 +137,18 @@ def main(args):
     size = args.tile_size
     for batch in loader:
         (images,) = batch.arrays
+        if int8_mode and predict_step is None:
+            from robosat_tpu.parallel.steps import make_int8_predict_step
+
+            predict_step, qtree = make_int8_predict_step(
+                model, params, state, images, mesh=mesh, overlap=args.overlap, pallas_head=use_pallas
+            )
+            qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):
-            quantized = np.asarray(predict_step(params, state, images))
+            if int8_mode:
+                quantized = np.asarray(predict_step(qtree, images))
+            else:
+                quantized = np.asarray(predict_step(params, state, images))
         for meta, q in zip(batch.meta, quantized[: batch.valid]):
             if args.strip > 1:
                 strip_tiles, valid = meta

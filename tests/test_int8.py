@@ -1,0 +1,141 @@
+"""Int8 inference datapath: numeric fidelity and quality on a trained model.
+
+Validates the round-2 performance lever (docs/PERF.md: ~302 int8 TOPS vs
+~130 bf16 TFLOPs on this chip) end to end: per-channel weight quantization,
+calibrated static activation scales, int8 convolutions with int32
+accumulation, and the `rs predict` int8 mode — the predicted masks must
+match the fp32 path almost everywhere, and IoU on a trained model must not
+degrade.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from PIL import Image
+
+from robosat_tpu.models import int8 as q8
+from robosat_tpu.models import unet
+from robosat_tpu.ops.augment import normalize
+from robosat_tpu.ops.losses import get_loss
+from robosat_tpu.ops.metrics import Metrics
+from robosat_tpu.parallel.steps import make_int8_predict_step, make_predict_step, make_train_step
+
+from test_learning import _make_task  # bright-blob separable task
+
+
+def _trained(images, masks, steps=20):
+    params, state = unet.init(0, num_classes=2)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(
+        unet, get_loss("CrossEntropy"), optimizer, weight=np.array([1.0, 1.0], np.float32), augment=False
+    )
+    key = jax.random.PRNGKey(0)
+    for i in range(steps):
+        params, state, opt_state, _, _ = train_step(params, state, opt_state, jax.random.fold_in(key, i), images, masks)
+    return params, state
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.2, (3, 3, 8, 16)).astype(np.float32)
+    wq, ws = q8._quantize_weight(w)
+    assert wq.dtype == jnp.int8
+    back = np.asarray(wq, np.float32) * np.asarray(ws)
+    assert np.max(np.abs(back - w)) <= np.max(np.abs(w)) / 127.0 + 1e-7
+
+
+def test_calibration_site_count_matches_inference():
+    params, state = unet.init(0, num_classes=2)
+    folded = unet.fold(params, state)
+    raw = np.random.default_rng(1).integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+    amaxes = np.asarray(jax.jit(lambda f, r: q8.calibration_amaxes(f, normalize(r)))(folded, raw))
+    # ResNet-50: stem + 16 blocks x 3 convs + 4 downsamples = 53; decoder 7.
+    assert amaxes.shape == (60,)
+    assert np.all(amaxes > 0)
+
+    qtree = q8.quantize_unet_folded(folded)
+    scales = tuple(q8.scales_from_amaxes(amaxes))
+    feats = jax.jit(lambda qt, r: q8.apply_features_int8(qt, scales, normalize(r), compute_dtype=jnp.float32))(
+        qtree, raw
+    )
+    assert feats.shape == (1, 64, 64, 32)
+    assert np.all(np.isfinite(np.asarray(feats, np.float32)))
+
+
+@pytest.mark.slow
+def test_int8_matches_fp32_on_trained_model():
+    """On a trained model the int8 masks agree with fp32 nearly everywhere
+    and the foreground IoU does not degrade."""
+    rng = np.random.default_rng(0)
+    images, masks = _make_task(rng, n=8)
+    params, state = _trained(images, masks)
+
+    fp_step = make_predict_step(unet, overlap=0, compute_dtype=jnp.float32, pallas_head=False)
+    q_step, qtree = make_int8_predict_step(unet, params, state, images, overlap=0, pallas_head=False)
+
+    fp_q = np.asarray(fp_step(params, state, images))
+    q_q = np.asarray(q_step(qtree, images))
+
+    fp_mask = fp_q.astype(np.int32) >= 128  # fg prob >= .5 in digitize space
+    q_mask = q_q.astype(np.int32) >= 128
+    agreement = (fp_mask == q_mask).mean()
+    assert agreement >= 0.99, "int8/fp32 mask agreement too low: {}".format(agreement)
+
+    def iou(pred):
+        metrics = Metrics(range(2))
+        tp = np.logical_and(pred, masks == 1).sum()
+        fp = np.logical_and(pred, masks == 0).sum()
+        fn = np.logical_and(~pred, masks == 1).sum()
+        return tp / max(tp + fp + fn, 1)
+
+    iou_fp, iou_q = iou(fp_mask), iou(q_mask)
+    assert iou_q >= iou_fp - 0.02, "int8 IoU degraded: {} vs {}".format(iou_q, iou_fp)
+
+
+@pytest.mark.slow
+def test_rs_predict_int8_mode(tmp_path, slippy_fixtures):
+    """`rs predict` with int8 = true in the model TOML produces valid
+    probability tiles through the real tool (calibration on first batch)."""
+    from robosat_tpu.checkpoint import save_checkpoint
+    from robosat_tpu.config import save_config
+    from robosat_tpu.tools import predict
+
+    params, state = unet.init(0, num_classes=2)
+    chk = tmp_path / "model.npz"
+    save_checkpoint(str(chk), {"params": params, "state": state}, meta={"epoch": 1})
+
+    save_config(
+        {"common": {"cuda": False, "batch_size": 2, "image_size": 128, "checkpoint": str(tmp_path), "int8": True}},
+        str(tmp_path / "model.toml"),
+    )
+    save_config(
+        {"common": {"dataset": str(tmp_path), "classes": ["background", "parking"], "colors": ["denim", "orange"]}},
+        str(tmp_path / "dataset.toml"),
+    )
+
+    predict.main(
+        argparse.Namespace(
+            batch_size=2,
+            checkpoint=str(chk),
+            overlap=32,
+            strip=1,
+            tile_size=128,
+            workers=2,
+            tiles=str(slippy_fixtures / "images"),
+            probs=str(tmp_path / "probs"),
+            model=str(tmp_path / "model.toml"),
+            dataset=str(tmp_path / "dataset.toml"),
+            profile=None,
+        )
+    )
+
+    outs = list((tmp_path / "probs").rglob("*.png"))
+    assert len(outs) == 3
+    img = Image.open(outs[0])
+    assert img.mode == "P"
+    assert img.size == (128, 128)
