@@ -43,7 +43,7 @@ def main():
 
     from robosat_tpu.models import unet
     from robosat_tpu.ops.augment import normalize
-    from robosat_tpu.ops.pallas_head import fused_prediction_head
+    from robosat_tpu.ops.head import fused_prediction_head_s2d
 
     device = jax.devices()[0]
 
@@ -57,14 +57,14 @@ def main():
 
     @jax.jit
     def step(params, state, raw, salt):
-        # The exact program `rs predict` ships: BN-folded forward + Pallas
-        # fused head. The salt (previous step's checksum) forces sequential
+        # The exact program `rs predict` ships: BN-folded forward + fused
+        # margin head. The salt (previous step's checksum) forces sequential
         # execution of queued steps; adding salt * 1e-30 in fp32 is
         # value-neutral after the bf16 round but cannot be eliminated.
         x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
         folded = unet.fold(params, state)
-        features = unet.apply_features_folded(folded, x)
-        quantized = fused_prediction_head(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
+        features = unet.apply_features_folded_s2d(folded, x)
+        quantized = fused_prediction_head_s2d(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
         return jnp.sum(quantized.astype(jnp.int32))
 
     rng = np.random.default_rng(0)

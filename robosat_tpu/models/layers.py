@@ -174,3 +174,84 @@ def fused_upsample_conv3x3(params, x):
         lhs_dilation=(2, 2),
         dimension_numbers=CONV_DIMS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth decoder tail
+#
+# Fine-resolution activations with few channels (576px x 32ch in the U-Net
+# tail) are lane-padded by XLA:TPU toward the 128-lane register width: the
+# buffers cost up to 4x their logical bytes and the tail runs far off the
+# bandwidth roofline (measured: the dec5 3x3 conv at 8x576px/32ch takes
+# 4.5 ms standalone vs 1.25 ms for the algebraically identical 288px/128ch
+# space-to-depth form, despite the latter's denser kernel). The rewrites
+# below keep the tail at half resolution with parity-blocked channels
+# (block p = 2*di + dj holds fine pixel (2i+di, 2j+dj)) so every buffer is
+# exactly 128 lanes. Equivalent to the fine-grid ops up to fp summation
+# order; tests/test_s2d.py pins both transforms against the naive path.
+# ---------------------------------------------------------------------------
+
+# Row/col tap maps: for output parity d, coarse offset a, which fine conv taps
+# t (kernel rows 0..2 = offsets -1..1) land there. Derivation: fine index
+# q = 2i + d + t - 1 has coarse cell i + floor((d+t-1)/2).
+_UPS_TAPS = {  # nearest-2x upsample + conv3x3: input is coarse (pre-upsample)
+    0: {-1: (0,), 0: (1, 2), 1: ()},
+    1: {-1: (), 0: (0, 1), 1: (2,)},
+}
+
+
+def s2d_up_conv3x3_kernel(w3):
+    """Kernel for nearest-2x upsample + 3x3 SAME conv emitting space-to-depth
+    output: (3, 3, Cin, Cout) -> (3, 3, Cin, 4*Cout), parity-blocked."""
+    kh, kw, cin, cout = w3.shape
+    assert kh == 3 and kw == 3
+    blocks = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            rows = []
+            for a in (-1, 0, 1):
+                cols = []
+                for b in (-1, 0, 1):
+                    taps = [w3[t, s] for t in _UPS_TAPS[di][a] for s in _UPS_TAPS[dj][b]]
+                    cols.append(sum(taps) if taps else jnp.zeros((cin, cout), w3.dtype))
+                rows.append(jnp.stack(cols, axis=0))
+            blocks.append(jnp.stack(rows, axis=0))  # (3, 3, Cin, Cout)
+    return jnp.concatenate(blocks, axis=-1)  # (3, 3, Cin, 4*Cout)
+
+
+def s2d_conv3x3_kernel(w3):
+    """Kernel for a fine-grid 3x3 SAME conv expressed on the space-to-depth
+    grid: (3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout), parity-blocked both
+    sides. Fine tap t from output parity d reads input parity (d+t-1) mod 2
+    at coarse offset floor((d+t-1)/2); each (d, t) maps to a unique slot."""
+    kh, kw, cin, cout = w3.shape
+    assert kh == 3 and kw == 3
+    k = jnp.zeros((3, 3, 4 * cin, 4 * cout), w3.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for t in range(3):
+                for s in range(3):
+                    a, ei = (di + t - 1) // 2, (di + t - 1) % 2
+                    b, ej = (dj + s - 1) // 2, (dj + s - 1) % 2
+                    k = k.at[
+                        a + 1,
+                        b + 1,
+                        (2 * ei + ej) * cin : (2 * ei + ej + 1) * cin,
+                        (2 * di + dj) * cout : (2 * di + dj + 1) * cout,
+                    ].set(w3[t, s])
+    return k
+
+
+def space_to_depth2(x):
+    """(N, 2H, 2W, C) -> (N, H, W, 4C), parity-blocked (p = 2*di + dj)."""
+    n, h2, w2, c = x.shape
+    x = x.reshape(n, h2 // 2, 2, w2 // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2 // 2, w2 // 2, 4 * c)
+
+
+def depth_to_space2(x):
+    """(N, H, W, 4C) -> (N, 2H, 2W, C), inverse of space_to_depth2."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c)

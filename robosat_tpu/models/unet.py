@@ -78,7 +78,7 @@ def apply_features(params, state, x, train=False):
     """Backbone + decoder up to dec5; returns (features, new_state).
 
     Split out so the prediction path can fuse the final 1x1 conv + softmax +
-    quantize into one Pallas kernel (robosat_tpu.ops.pallas_head).
+    quantize into one sigmoid-of-margin pass (robosat_tpu.ops.head).
     """
     n, h, w, c = x.shape
     assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
@@ -135,3 +135,36 @@ def apply_folded(folded, x):
     """BN-free inference forward; returns logits."""
     dec5 = apply_features_folded(folded, x)
     return conv_apply({"w": folded["final"]["w"]}, dec5, stride=1) + folded["final"]["b"].astype(dec5.dtype)
+
+
+def apply_features_folded_s2d(folded, x):
+    """BN-free inference forward with the space-to-depth decoder tail.
+
+    dec4/dec5 run at half resolution with parity-blocked 4*32 = 128 channels
+    (exactly one TPU lane register wide) instead of full resolution with 32
+    channels that XLA lane-pads 4x — algebraically the same ops up to fp
+    summation order (robosat_tpu.models.layers, s2d_* kernels). Returns
+    (N, H/2, W/2, 128) parity-blocked features for
+    robosat_tpu.ops.head.fused_prediction_head_s2d.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from robosat_tpu.models.layers import CONV_DIMS, s2d_conv3x3_kernel, s2d_up_conv3x3_kernel
+
+    n, h, w, c = x.shape
+    assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
+
+    enc1, enc2, enc3, enc4 = resnet.apply_folded(folded["encoder"], x)
+
+    center = _decoder_apply(folded["center"], max_pool(enc4, window=2, stride=2, padding=0))
+    dec0 = _decoder_apply(folded["dec0"], jnp.concatenate([enc4, center], axis=-1))
+    dec1 = _decoder_apply(folded["dec1"], jnp.concatenate([enc3, dec0], axis=-1))
+    dec2 = _decoder_apply(folded["dec2"], jnp.concatenate([enc2, dec1], axis=-1))
+    dec3 = _decoder_apply(folded["dec3"], jnp.concatenate([enc1, dec2], axis=-1))
+
+    def conv_same(k, xx):
+        return lax.conv_general_dilated(xx, k.astype(xx.dtype), (1, 1), "SAME", dimension_numbers=CONV_DIMS)
+
+    dec4 = jax.nn.relu(conv_same(s2d_up_conv3x3_kernel(folded["dec4"]["w"]), dec3))
+    return jax.nn.relu(conv_same(s2d_conv3x3_kernel(folded["dec5"]["w"]), dec4))

@@ -24,35 +24,47 @@ from robosat_tpu.ops.quantize import softmax_quantize
 from robosat_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, pallas_head=False, fold_bn=True):
+def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, fused_head=False, fold_bn=True, s2d=True):
     """Compiled prediction: raw uint8 NHWC -> quantized fg uint8 N(H-2o)(W-2o).
 
-    Inference optimizations (both preserve numerics to fp rounding):
+    Inference optimizations (all preserve numerics to fp rounding):
     - `fold_bn` (models exposing `fold`/`apply_folded`): every batch norm is
       folded into its conv once on the host, removing ~53 elementwise passes
       from the bandwidth-bound eval graph.
-    - `pallas_head` (models exposing `apply_features`): the final 1x1 conv +
-      softmax + digitize + crop run as one Pallas kernel
-      (robosat_tpu.ops.pallas_head).
+    - `fused_head` (models exposing `apply_features`): the final 1x1 conv +
+      softmax + digitize + crop collapse to one sigmoid-of-margin pass
+      (robosat_tpu.ops.head).
+    - `s2d` (models exposing `apply_features_folded_s2d`, with fold + fused
+      head on): the decoder tail runs at half resolution with parity-blocked
+      128-lane channels instead of lane-padded 32-channel buffers
+      (robosat_tpu.models.layers space-to-depth rewrites).
 
     The returned step takes (params, state, raw) regardless — folding happens
     inside against the passed params so checkpoint reloads keep working.
     """
-    use_pallas = pallas_head and hasattr(model, "apply_features")
+    use_fused = fused_head and hasattr(model, "apply_features")
     use_fold = fold_bn and hasattr(model, "fold")
+    use_s2d = s2d and use_fused and use_fold and hasattr(model, "apply_features_folded_s2d")
 
     def step(params, state, raw):
         x = normalize(raw).astype(compute_dtype)
         if use_fold:
             folded = model.fold(params, state)
-            if use_pallas:
-                from robosat_tpu.ops.pallas_head import fused_prediction_head
+            if use_s2d:
+                from robosat_tpu.ops.head import fused_prediction_head_s2d
+
+                features = model.apply_features_folded_s2d(folded, x)
+                return fused_prediction_head_s2d(
+                    features, folded["final"]["w"], folded["final"]["b"], overlap=overlap
+                )
+            if use_fused:
+                from robosat_tpu.ops.head import fused_prediction_head
 
                 features = model.apply_features_folded(folded, x)
                 return fused_prediction_head(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
             logits = model.apply_folded(folded, x)
-        elif use_pallas:
-            from robosat_tpu.ops.pallas_head import fused_prediction_head
+        elif use_fused:
+            from robosat_tpu.ops.head import fused_prediction_head
 
             features, _ = model.apply_features(params, state, x, train=False)
             return fused_prediction_head(features, params["final"]["w"], params["final"]["b"], overlap=overlap)
@@ -72,7 +84,7 @@ def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, pa
     )
 
 
-def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0, pallas_head=True):
+def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True):
     """Compiled int8 prediction (U-Net only; robosat_tpu.models.int8).
 
     Folds BN, calibrates per-conv-site activation scales on `calib_raw` (one
@@ -92,8 +104,8 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
     def step(qtree, raw):
         x = normalize(raw).astype(jnp.bfloat16)
         features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16)
-        if pallas_head:
-            from robosat_tpu.ops.pallas_head import fused_prediction_head
+        if fused_head:
+            from robosat_tpu.ops.head import fused_prediction_head
 
             return fused_prediction_head(features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap)
         from robosat_tpu.models.layers import conv_apply

@@ -92,7 +92,8 @@ def main(args):
     batch_size = -(-batch_items // len(devices)) * len(devices)
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
-    use_pallas = model_config["common"].get("pallas_head", True)
+    # `fused_head` (formerly `pallas_head`) in the model TOML; defaults on.
+    use_fused = model_config["common"].get("fused_head", model_config["common"].get("pallas_head", True))
     # int8 = true in the model TOML runs the whole folded forward quantized
     # (robosat_tpu/models/int8.py); calibration needs one real batch, so the
     # step is built lazily inside the loop. U-Net only.
@@ -101,15 +102,18 @@ def main(args):
     predict_step = None
     qtree = None
     if not int8_mode:
-        # The Pallas fused head defaults on: besides fusing softmax+digitize it
-        # avoids XLA padding the 2-channel 1x1-conv output to 128 lanes, which
-        # halves the predict program's HBM bytes (see ops/pallas_head.py).
+        # The fused head defaults on: the final conv + softmax + digitize +
+        # crop collapse to one sigmoid-of-margin pass over the features,
+        # avoiding lane-padded logit buffers entirely (see ops/head.py). The
+        # s2d decoder tail (half resolution, 128-lane parity-blocked channels)
+        # also defaults on; both are numerics-preserving to fp rounding.
         predict_step = make_predict_step(
             model,
             mesh=mesh,
             overlap=args.overlap,
             compute_dtype=compute_dtype,
-            pallas_head=use_pallas,
+            fused_head=use_fused,
+            s2d=model_config["common"].get("s2d", True),
         )
     params = replicate(mesh, params)
     state = replicate(mesh, state)
@@ -141,7 +145,7 @@ def main(args):
             from robosat_tpu.parallel.steps import make_int8_predict_step
 
             predict_step, qtree = make_int8_predict_step(
-                model, params, state, images, mesh=mesh, overlap=args.overlap, pallas_head=use_pallas
+                model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused
             )
             qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):

@@ -48,12 +48,12 @@ def test_predict_step_fold_matches_unfolded(trained_like_params):
     assert (diff == 0).mean() > 0.995
 
 
-def test_predict_step_fold_plus_pallas(trained_like_params):
+def test_predict_step_fold_plus_fused_head(trained_like_params):
     params, state = trained_like_params
     raw = np.random.default_rng(3).integers(0, 255, (2, 64, 64, 3), np.uint8)
 
-    step_ref = make_predict_step(unet, overlap=0, fold_bn=False, pallas_head=False)
-    step_all = make_predict_step(unet, overlap=0, fold_bn=True, pallas_head=True)
+    step_ref = make_predict_step(unet, overlap=0, fold_bn=False, fused_head=False)
+    step_all = make_predict_step(unet, overlap=0, fold_bn=True, fused_head=True)
     a = np.asarray(step_ref(params, state, raw))
     b = np.asarray(step_all(params, state, raw))
 

@@ -1,11 +1,12 @@
-"""Fused Pallas prediction head vs the unfused XLA reference path."""
+"""Fused prediction head (XLA margin) vs the unfused reference path, and vs
+the retired Pallas kernel it replaced (ops/head.py documents the 42x story)."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from robosat_tpu.models.layers import conv_apply
-from robosat_tpu.ops.pallas_head import fused_prediction_head
+from robosat_tpu.ops.head import fused_prediction_head, pallas_prediction_head
 from robosat_tpu.ops.quantize import softmax_quantize
 
 
@@ -36,6 +37,23 @@ def test_fused_head_matches_reference(seed, overlap):
     diff = np.abs(got.astype(np.int32) - expected.astype(np.int32))
     assert (diff <= 1).all()
     assert (diff == 0).mean() > 0.99
+
+
+@pytest.mark.parametrize("overlap", [0, 8])
+def test_fused_head_matches_pallas_variant(overlap):
+    """The XLA margin head and the Pallas kernel compute the same function
+    (same margin + digitize); in fp32 they agree everywhere but bin edges."""
+    rng = np.random.default_rng(3)
+    n, s, cin = 2, 32, 32
+    features = jnp.asarray(rng.normal(size=(n, s, s, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, 1, cin, 2)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(2,)).astype(np.float32) * 0.1)
+
+    got = np.asarray(fused_prediction_head(features, w, b, overlap=overlap))
+    pallas = np.asarray(pallas_prediction_head(features, w, b, overlap=overlap))
+    diff = np.abs(got.astype(np.int32) - pallas.astype(np.int32))
+    assert (diff <= 1).all()
+    assert (diff == 0).mean() > 0.999
 
 
 def test_fused_head_extremes():

@@ -75,8 +75,8 @@ def test_int8_matches_fp32_on_trained_model():
     images, masks = _make_task(rng, n=8)
     params, state = _trained(images, masks)
 
-    fp_step = make_predict_step(unet, overlap=0, compute_dtype=jnp.float32, pallas_head=False)
-    q_step, qtree = make_int8_predict_step(unet, params, state, images, overlap=0, pallas_head=False)
+    fp_step = make_predict_step(unet, overlap=0, compute_dtype=jnp.float32, fused_head=False)
+    q_step, qtree = make_int8_predict_step(unet, params, state, images, overlap=0, fused_head=False)
 
     fp_q = np.asarray(fp_step(params, state, images))
     q_q = np.asarray(q_step(qtree, images))
