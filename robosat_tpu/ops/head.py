@@ -96,9 +96,16 @@ def fused_prediction_head_s2d(features, w, b, overlap=0):
     wm = (w2[:, 1] - w2[:, 0]).astype(jnp.float32)
     bm = (b2[1] - b2[0]).astype(jnp.float32)
 
-    # Margin per parity block: (N, H, W, 4, C) . (C,) -> (N, H, W, 4).
-    blocked = features.astype(jnp.float32).reshape(n, h, w_, 4, cin)
-    margin = jnp.sum(blocked * wm, axis=-1) + bm
+    # Margin per parity block as ONE dot against a block-diagonal (4C, 4)
+    # matrix: reshaping to (N, H, W, 4, C) and reducing instead breaks XLA's
+    # fusion (a relu+convert materializes the features in fp32 plus a layout
+    # copy — measured 3.3 ms vs 0.9 ms for this dot at 8 x 288px/128ch).
+    # HIGHEST precision keeps fp32-accurate products on the MXU.
+    wblock = jnp.kron(jnp.eye(4, dtype=jnp.float32), wm.reshape(cin, 1))  # (4C, 4)
+    margin = (
+        jnp.einsum("nhwc,cp->nhwp", features.astype(jnp.float32), wblock, precision=jax.lax.Precision.HIGHEST)
+        + bm
+    )
     q = _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
 
     # Depth-to-space on the uint8 result (C = 1): (N, H, W, 2, 2) -> fine.

@@ -65,7 +65,8 @@ def test_s2d_conv3x3_matches_fine_conv(seed):
 
 def test_s2d_head_matches_fine_head():
     """fused_prediction_head_s2d on blocked features == fused_prediction_head
-    on the fine features, bit-for-bit (same fp32 products, same order)."""
+    on the fine features (same margins up to dot-product summation order;
+    knife-edge pixels may land one quantization bin apart)."""
     from robosat_tpu.ops.head import fused_prediction_head, fused_prediction_head_s2d
 
     rng = np.random.default_rng(3)
@@ -76,7 +77,9 @@ def test_s2d_head_matches_fine_head():
     for overlap in (0, 8):
         a = np.asarray(fused_prediction_head(fine, w, b, overlap=overlap))
         s = np.asarray(fused_prediction_head_s2d(space_to_depth2(fine), w, b, overlap=overlap))
-        assert np.array_equal(a, s)
+        diff = np.abs(a.astype(int) - s.astype(int))
+        assert (diff <= 1).all()
+        assert (diff == 0).mean() > 0.999
 
 
 def test_predict_step_s2d_matches_reference_path():
