@@ -1,23 +1,38 @@
-"""Int8 inference datapath for the BN-folded U-Net.
+"""Hybrid int8 inference datapath: bf16 stem, int8 everywhere lane-aligned.
 
-The chip sustains ~302 int8 TOPS vs ~130 bf16 TFLOPs (docs/PERF.md), and
-int8 activations halve HBM bytes on a bandwidth-bound predict graph, so the
-whole folded forward (robosat_tpu/models/unet.apply_features_folded +
-resnet.apply_folded — reference architecture robosat/unet.py:76-141) runs
-quantized:
+The chip sustains ~302 int8 TOPS vs ~130 bf16 TFLOPs and int8 activations
+halve HBM bytes (docs/PERF.md), but per-op tracing (benchmarks/xplane.py)
+shows WHERE int8 pays on this backend:
 
-- weights: symmetric per-output-channel int8, quantized once at load;
+- wide lane-aligned convolutions (the ResNet bottleneck stacks and the
+  decoder blocks incl. the space-to-depth tail, all >= 64 channels) fuse
+  cleanly — XLA folds quantize/dequant epilogues into the convolutions and
+  emits s8-in/bf16-out fusions;
+- the FINE-resolution tail (dec4/dec5 at full res x 32ch, before the s2d
+  rewrite) was a disaster in int8: XLA materialized the raw s32 accumulators
+  (4 bytes/element at full resolution, ~340 MB/batch) plus layout copies —
+  ~12 ms/step of pure overhead, making that graph SLOWER than bf16;
+- conv1 (3 input channels) is im2col-bound, not contraction-bound; int8
+  buys nothing there, so the stem stays bf16.
+
+Datapath:
+
+- weights: symmetric per-output-channel int8, quantized once at load; the
+  decoder kernels are quantized in their REWRITTEN forms (the 4x4
+  parity-combined transposed-conv kernel for center..dec3, the s2d kernels
+  for dec4/dec5) so the int8 graph keeps the fast graph shapes;
 - activations: symmetric per-tensor int8 with STATIC scales captured by a
   one-batch calibration pass (a dynamic amax would re-read every activation
   and give back the bandwidth win);
 - convolutions: int8 x int8 -> int32 on the MXU
-  (lax.conv_general_dilated(preferred_element_type=int32));
-- dequant + bias + ReLU + requant are elementwise epilogues XLA fuses into
-  the convolutions; residual adds and pooling stay in `compute_dtype`.
+  (lax.conv_general_dilated(preferred_element_type=int32)); dequant + bias
+  + ReLU + requant are elementwise epilogues XLA fuses into the convs;
+- the final 1x1 head stays float (it feeds ops.head.fused_prediction_head_s2d).
 
 `calibration_amaxes` and `apply_features_int8` walk the network in the SAME
-order, so the amax vector indexes conv sites positionally. The final 1x1
-head stays in float (it feeds the fused Pallas softmax/digitize head).
+order, so the amax vector indexes conv sites positionally. Reference
+architecture: robosat/unet.py:76-141 (torchvision resnet50 bottleneck stack
++ DecoderBlock chain).
 """
 
 import jax
@@ -25,16 +40,28 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from robosat_tpu.models.layers import CONV_DIMS, max_pool
+from robosat_tpu.models.layers import (
+    CONV_DIMS,
+    conv_bias_apply,
+    fused_upsample_conv3x3,
+    max_pool,
+    s2d_conv3x3_kernel,
+    s2d_up_conv3x3_kernel,
+)
 from robosat_tpu.models.resnet import RESNET50_STAGES
+
+# (kernel-rewrite, conv kwargs) per decoder site; mirrors unet.decode_s2d.
+_K4_SETS = ((0,), (0, 1), (1, 2), (2,))
 
 
 def _fused_k4(w3):
     """The 4x4 parity-combined kernel of nearest-2x upsample + 3x3 conv
     (same rewrite as layers.fused_upsample_conv3x3)."""
-    sets = ((0,), (0, 1), (1, 2), (2,))
     return jnp.stack(
-        [jnp.stack([sum(w3[r, c] for r in rows for c in cols) for cols in sets], axis=0) for rows in sets],
+        [
+            jnp.stack([sum(w3[r, c] for r in rows for c in cols) for cols in _K4_SETS], axis=0)
+            for rows in _K4_SETS
+        ],
         axis=0,
     )
 
@@ -55,16 +82,17 @@ def _qconv(node):
     return out
 
 
-def _qdecoder(node):
-    """Decoder 3x3 conv quantized in its fused-upsample 4x4 form."""
-    wq, ws = _quantize_weight(_fused_k4(jnp.asarray(node["w"], jnp.float32)))
+def _qkernel(k):
+    """Pre-rewritten float kernel -> {"wq", "ws"} (per-output-channel)."""
+    wq, ws = _quantize_weight(k)
     return {"wq": wq, "ws": ws}
 
 
 def quantize_unet_folded(folded):
-    """BN-folded U-Net params -> int8 tree (same nesting, quantized leaves)."""
+    """BN-folded U-Net params -> hybrid tree: bottleneck stages + decoder
+    quantized (in their rewritten kernel forms), stem + final head float."""
     enc = folded["encoder"]
-    qenc = {"conv1": _qconv(enc["conv1"])}
+    qenc = {"conv1": dict(enc["conv1"])}  # stem stays float
     for si, (blocks, _) in enumerate(RESNET50_STAGES):
         name = "layer{}".format(si + 1)
         stage = []
@@ -77,13 +105,11 @@ def quantize_unet_folded(folded):
         qenc[name] = stage
 
     q = {"encoder": qenc}
-    for name in ("center", "dec0", "dec1", "dec2", "dec3", "dec4"):
-        q[name] = _qdecoder(folded[name])
-    q["dec5"] = _qconv(folded["dec5"])  # plain 3x3, no upsample
-    q["final"] = {
-        "w": jnp.asarray(folded["final"]["w"], jnp.float32),
-        "b": jnp.asarray(folded["final"]["b"], jnp.float32),
-    }
+    for name in ("center", "dec0", "dec1", "dec2", "dec3"):
+        q[name] = _qkernel(_fused_k4(jnp.asarray(folded[name]["w"], jnp.float32)))
+    q["dec4"] = _qkernel(s2d_up_conv3x3_kernel(jnp.asarray(folded["dec4"]["w"], jnp.float32)))
+    q["dec5"] = _qkernel(s2d_conv3x3_kernel(jnp.asarray(folded["dec5"]["w"], jnp.float32)))
+    q["final"] = dict(folded["final"])
     return q
 
 
@@ -126,51 +152,64 @@ class _Sites:
         return s
 
 
-def _walk(q, x, sites, compute_dtype, float_conv=None):
-    """The folded U-Net forward, visiting conv sites in a fixed order.
+def _walk(q, x, sites, compute_dtype, float_mode=False):
+    """Float stem, then bottleneck stacks and the decoder, visiting conv
+    sites in a fixed order. Mirrors resnet.apply_folded + unet.decode_s2d;
+    returns s2d parity-blocked decoder features.
 
-    With `float_conv` set (calibration) convolutions run in float via the
-    given fn; otherwise each site consumes the next static scale and runs
-    int8. Mirrors unet.apply_features_folded + resnet.apply_folded.
+    In float_mode (calibration) `q` is the plain folded tree and every site
+    runs in float via the same rewrites the int8 kernels were built from.
     """
-
-    def conv(node, xx, **kw):
-        scale = sites.next_scale(xx)
-        if float_conv is not None:
-            return float_conv(node, xx, **kw)
-        return _int8_conv(node, xx, scale, compute_dtype=compute_dtype, **kw)
-
     relu = jax.nn.relu
 
-    enc = q["encoder"]
-    out = relu(conv(enc["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
+    def conv(node, xx, stride=1):
+        scale = sites.next_scale(xx)
+        if float_mode:  # every folded encoder conv carries a bias (BN fold)
+            return conv_bias_apply(node, xx, stride=stride)
+        return _int8_conv(node, xx, scale, stride=stride, compute_dtype=compute_dtype)
+
+    out = relu(conv_bias_apply(q["encoder"]["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
     out = max_pool(out, window=3, stride=2, padding=1)
 
     skips = []
     for si, (blocks, _) in enumerate(RESNET50_STAGES):
         name = "layer{}".format(si + 1)
         for bi in range(blocks):
-            qb = enc[name][bi]
+            qb = q["encoder"][name][bi]
             stride = 2 if (bi == 0 and si > 0) else 1
-            inner = relu(conv(qb["conv1"], out, stride=1))
+            inner = relu(conv(qb["conv1"], out))
             inner = relu(conv(qb["conv2"], inner, stride=stride))
-            inner = conv(qb["conv3"], inner, stride=1)
+            inner = conv(qb["conv3"], inner)
             shortcut = conv(qb["down_conv"], out, stride=stride) if "down_conv" in qb else out
             out = relu(inner + shortcut)
         skips.append(out)
     enc1, enc2, enc3, enc4 = skips
 
-    def decoder(name, xx):
-        # Fused upsample+conv: the quantized kernel is already the 4x4 form.
-        return relu(conv(q[name], xx, padding=((2, 2), (2, 2)), lhs_dilation=(2, 2)))
+    def up_block(name, xx):
+        # Fused upsample+conv in its 4x4 transposed-conv form.
+        scale = sites.next_scale(xx)
+        if float_mode:
+            return relu(fused_upsample_conv3x3(q[name], xx))
+        return relu(
+            _int8_conv(q[name], xx, scale, padding=((2, 2), (2, 2)), lhs_dilation=(2, 2), compute_dtype=compute_dtype)
+        )
 
-    center = decoder("center", max_pool(enc4, window=2, stride=2, padding=0))
-    dec0 = decoder("dec0", jnp.concatenate([enc4, center], axis=-1))
-    dec1 = decoder("dec1", jnp.concatenate([enc3, dec0], axis=-1))
-    dec2 = decoder("dec2", jnp.concatenate([enc2, dec1], axis=-1))
-    dec3 = decoder("dec3", jnp.concatenate([enc1, dec2], axis=-1))
-    dec4 = decoder("dec4", dec3)
-    return relu(conv(q["dec5"], dec4, stride=1))
+    def s2d_block(name, kernel_fn, xx):
+        scale = sites.next_scale(xx)
+        if float_mode:
+            k = kernel_fn(jnp.asarray(q[name]["w"], jnp.float32))
+            return relu(
+                lax.conv_general_dilated(xx, k.astype(xx.dtype), (1, 1), "SAME", dimension_numbers=CONV_DIMS)
+            )
+        return relu(_int8_conv(q[name], xx, scale, compute_dtype=compute_dtype))
+
+    center = up_block("center", max_pool(enc4, window=2, stride=2, padding=0))
+    dec0 = up_block("dec0", jnp.concatenate([enc4, center], axis=-1))
+    dec1 = up_block("dec1", jnp.concatenate([enc3, dec0], axis=-1))
+    dec2 = up_block("dec2", jnp.concatenate([enc2, dec1], axis=-1))
+    dec3 = up_block("dec3", jnp.concatenate([enc1, dec2], axis=-1))
+    dec4 = s2d_block("dec4", s2d_up_conv3x3_kernel, dec3)
+    return s2d_block("dec5", s2d_conv3x3_kernel, dec4)
 
 
 def calibration_amaxes(folded, x, compute_dtype=jnp.float32):
@@ -179,26 +218,17 @@ def calibration_amaxes(folded, x, compute_dtype=jnp.float32):
     Returns a float32 vector indexed by conv-site order (the order
     apply_features_int8 consumes). Jit this with real imagery.
     """
-    from robosat_tpu.models.layers import conv_bias_apply, fused_upsample_conv3x3
-
-    def float_conv(node, xx, lhs_dilation=None, **kw):
-        if lhs_dilation is not None:  # fused decoder site: node holds the 3x3
-            return fused_upsample_conv3x3(node, xx)
-        if "b" in node:
-            return conv_bias_apply(node, xx, **kw)
-        return lax.conv_general_dilated(
-            xx, node["w"].astype(xx.dtype), window_strides=(kw.get("stride", 1),) * 2,
-            padding=kw.get("padding", "SAME"), dimension_numbers=CONV_DIMS,
-        )
-
     sites = _Sites(scales=None)
-    _walk(folded, x.astype(compute_dtype), sites, compute_dtype, float_conv=float_conv)
+    _walk(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True)
     return jnp.stack(sites.taps).astype(jnp.float32)
 
 
 def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16):
-    """Int8 forward up to dec5 features. `scales` is a host float sequence
-    (amax/127 per conv site, calibration order); returns compute_dtype NHWC."""
+    """Hybrid int8 forward to s2d decoder features: float stem -> int8
+    bottleneck stacks -> int8 decoder (rewritten kernel forms). `scales` is
+    a host float sequence (amax/127 per conv site, calibration order);
+    returns parity-blocked NHWC features for
+    robosat_tpu.ops.head.fused_prediction_head_s2d."""
     sites = _Sites(scales=list(scales))
     features = _walk(qtree, x, sites, compute_dtype)
     assert sites.idx == len(list(scales)), "conv-site count mismatch with calibration"

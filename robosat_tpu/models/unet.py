@@ -137,8 +137,8 @@ def apply_folded(folded, x):
     return conv_apply({"w": folded["final"]["w"]}, dec5, stride=1) + folded["final"]["b"].astype(dec5.dtype)
 
 
-def apply_features_folded_s2d(folded, x):
-    """BN-free inference forward with the space-to-depth decoder tail.
+def decode_s2d(folded, skips):
+    """Decoder over encoder skips with the space-to-depth tail.
 
     dec4/dec5 run at half resolution with parity-blocked 4*32 = 128 channels
     (exactly one TPU lane register wide) instead of full resolution with 32
@@ -152,11 +152,7 @@ def apply_features_folded_s2d(folded, x):
 
     from robosat_tpu.models.layers import CONV_DIMS, s2d_conv3x3_kernel, s2d_up_conv3x3_kernel
 
-    n, h, w, c = x.shape
-    assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
-
-    enc1, enc2, enc3, enc4 = resnet.apply_folded(folded["encoder"], x)
-
+    enc1, enc2, enc3, enc4 = skips
     center = _decoder_apply(folded["center"], max_pool(enc4, window=2, stride=2, padding=0))
     dec0 = _decoder_apply(folded["dec0"], jnp.concatenate([enc4, center], axis=-1))
     dec1 = _decoder_apply(folded["dec1"], jnp.concatenate([enc3, dec0], axis=-1))
@@ -168,3 +164,10 @@ def apply_features_folded_s2d(folded, x):
 
     dec4 = jax.nn.relu(conv_same(s2d_up_conv3x3_kernel(folded["dec4"]["w"]), dec3))
     return jax.nn.relu(conv_same(s2d_conv3x3_kernel(folded["dec5"]["w"]), dec4))
+
+
+def apply_features_folded_s2d(folded, x):
+    """BN-free inference forward with the space-to-depth decoder tail."""
+    n, h, w, c = x.shape
+    assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
+    return decode_s2d(folded, resnet.apply_folded(folded["encoder"], x))

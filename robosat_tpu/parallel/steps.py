@@ -85,7 +85,8 @@ def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, fu
 
 
 def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True):
-    """Compiled int8 prediction (U-Net only; robosat_tpu.models.int8).
+    """Compiled hybrid-int8 prediction (U-Net only; robosat_tpu.models.int8:
+    int8 bottleneck stacks, bf16 stem + s2d decoder).
 
     Folds BN, calibrates per-conv-site activation scales on `calib_raw` (one
     real uint8 batch), quantizes weights per-channel, and returns
@@ -105,14 +106,13 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
         x = normalize(raw).astype(jnp.bfloat16)
         features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16)
         if fused_head:
-            from robosat_tpu.ops.head import fused_prediction_head
+            from robosat_tpu.ops.head import fused_prediction_head_s2d
 
-            return fused_prediction_head(features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap)
-        from robosat_tpu.models.layers import conv_apply
+            return fused_prediction_head_s2d(features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap)
+        from robosat_tpu.models.layers import conv_apply, depth_to_space2
 
-        logits = conv_apply({"w": qtree["final"]["w"]}, features, stride=1) + qtree["final"]["b"].astype(
-            features.dtype
-        )
+        fine = depth_to_space2(features)
+        logits = conv_apply({"w": qtree["final"]["w"]}, fine, stride=1) + qtree["final"]["b"].astype(fine.dtype)
         quantized = softmax_quantize(logits)
         if overlap:
             quantized = quantized[:, overlap:-overlap, overlap:-overlap]

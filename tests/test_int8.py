@@ -1,9 +1,11 @@
-"""Int8 inference datapath: numeric fidelity and quality on a trained model.
+"""Hybrid int8 inference datapath: numeric fidelity and quality on a trained
+model.
 
-Validates the round-2 performance lever (docs/PERF.md: ~302 int8 TOPS vs
-~130 bf16 TFLOPs on this chip) end to end: per-channel weight quantization,
-calibrated static activation scales, int8 convolutions with int32
-accumulation, and the `rs predict` int8 mode — the predicted masks must
+Validates the performance lever (docs/PERF.md: ~302 int8 TOPS vs ~130 bf16
+TFLOPs on this chip) end to end: per-channel weight quantization, calibrated
+static activation scales, int8 bottleneck-stack convolutions with int32
+accumulation (stem + s2d decoder stay bf16 — see models/int8.py for the
+traced rationale), and the `rs predict` int8 mode — the predicted masks must
 match the fp32 path almost everywhere, and IoU on a trained model must not
 degrade.
 """
@@ -54,8 +56,9 @@ def test_calibration_site_count_matches_inference():
     folded = unet.fold(params, state)
     raw = np.random.default_rng(1).integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
     amaxes = np.asarray(jax.jit(lambda f, r: q8.calibration_amaxes(f, normalize(r)))(folded, raw))
-    # ResNet-50: stem + 16 blocks x 3 convs + 4 downsamples = 53; decoder 7.
-    assert amaxes.shape == (60,)
+    # Quantized sites: 16 bottleneck blocks x 3 convs + 4 downsamples = 52,
+    # plus 7 decoder convs (stem and final head stay float).
+    assert amaxes.shape == (59,)
     assert np.all(amaxes > 0)
 
     qtree = q8.quantize_unet_folded(folded)
@@ -63,7 +66,7 @@ def test_calibration_site_count_matches_inference():
     feats = jax.jit(lambda qt, r: q8.apply_features_int8(qt, scales, normalize(r), compute_dtype=jnp.float32))(
         qtree, raw
     )
-    assert feats.shape == (1, 64, 64, 32)
+    assert feats.shape == (1, 32, 32, 128)  # s2d parity-blocked decoder output
     assert np.all(np.isfinite(np.asarray(feats, np.float32)))
 
 
