@@ -1,9 +1,13 @@
 """Benchmark: `rs predict` device throughput on 512px tiles, one chip.
 
-Measures the compiled predict program (normalize -> U-Net forward -> softmax
--> quantize -> overlap crop) on buffered 576px inputs (512 + 2*32 overlap,
-the real predict path, reference robosat/tools/predict.py:32) in bfloat16
-against the 5,000 tiles/sec/chip north-star target (BASELINE.json).
+Measures the compiled fast-path predict program exactly as `rs predict`
+ships it with int8 = true in the model TOML (robosat_tpu/tools/predict.py):
+host-4x4-space-to-depth uint8 input, hybrid int8 forward (bf16 blocked stem,
+int8 bottleneck stacks + rewritten-kernel decoder, robosat_tpu/models/int8),
+fused margin head with parity-blocked uint8 output (overlap crop included;
+the host writer pool interleaves). Compared against the 5,000 tiles/sec/chip
+north-star target (BASELINE.json). Reference hot loop:
+robosat/tools/predict.py:81-113.
 
 Methodology notes for this harness: the TPU is reached through a tunnel whose
 RPC round-trip dwarfs the device time of one batch, and `block_until_ready`
@@ -41,39 +45,50 @@ def main():
 
     import jax.numpy as jnp
 
+    from robosat_tpu.models import int8 as q8
     from robosat_tpu.models import unet
-    from robosat_tpu.ops.augment import normalize
-    from robosat_tpu.ops.head import fused_prediction_head_s2d
+    from robosat_tpu.models.layers import space_to_depth4
+    from robosat_tpu.ops.head import fused_prediction_head_s2d_blocked
+    from robosat_tpu.parallel.steps import _normalize_s2d4
 
     device = jax.devices()[0]
 
     params, state = unet.init(0, num_classes=2)
-    params = jax.device_put(params, device)
-    state = jax.device_put(state, device)
 
     overlap, tile_size = 32, 512
     side = tile_size + 2 * overlap
     batch = 8
 
+    rng = np.random.default_rng(0)
+    raw48 = space_to_depth4(rng.integers(0, 255, (batch, side, side, 3), dtype=np.uint8))
+
+    # Quantize once, exactly like make_int8_predict_step (parallel/steps.py).
+    folded = jax.jit(unet.fold)(params, state)
+    amaxes = np.asarray(
+        jax.jit(lambda f, r: q8.calibration_amaxes(f, _normalize_s2d4(r), blocked=True))(folded, raw48)
+    )
+    scales = tuple(q8.scales_from_amaxes(amaxes))
+    qtree = jax.device_put(jax.jit(q8.quantize_unet_folded)(folded), device)
+
     @jax.jit
-    def step(params, state, raw, salt):
-        # The exact program `rs predict` ships: BN-folded forward + fused
-        # margin head. The salt (previous step's checksum) forces sequential
-        # execution of queued steps; adding salt * 1e-30 in fp32 is
-        # value-neutral after the bf16 round but cannot be eliminated.
-        x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
-        folded = unet.fold(params, state)
-        features = unet.apply_features_folded_s2d(folded, x)
-        quantized = fused_prediction_head_s2d(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
+    def step(qtree, raw, salt):
+        # The exact program `rs predict` ships. The salt (previous step's
+        # checksum) forces sequential execution of queued steps; adding
+        # salt * 1e-30 in fp32 is value-neutral after the bf16 round but
+        # cannot be eliminated.
+        x = (_normalize_s2d4(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
+        features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=True)
+        quantized = fused_prediction_head_s2d_blocked(
+            features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap
+        )
         return jnp.sum(quantized.astype(jnp.int32))
 
-    rng = np.random.default_rng(0)
-    raw = jax.device_put(rng.integers(0, 255, (batch, side, side, 3), dtype=np.uint8), device)
+    raw_d = jax.device_put(raw48, device)
 
     def run_chain(k):
         salt = jnp.int32(0)
         for _ in range(k):
-            salt = step(params, state, raw, salt)
+            salt = step(qtree, raw_d, salt)
         return int(salt)  # single 4-byte fetch: one tunnel round trip
 
     run_chain(2)  # compile + warmup

@@ -71,7 +71,7 @@ class BufferedSlippyMapDirectory:
     overlap crop happens on-device in the predict step rather than here.
     """
 
-    def __init__(self, root, size=512, overlap=32, cache_tiles=256):
+    def __init__(self, root, size=512, overlap=32, cache_tiles=256, transform=None):
         assert overlap >= 0
         # The reference asserts size >= 256 (robosat/datasets.py:104); relaxed
         # to the model's minimum so small tiles remain testable on CPU.
@@ -79,6 +79,7 @@ class BufferedSlippyMapDirectory:
 
         self.size = size
         self.overlap = overlap
+        self.transform = transform
         self.tiles = list(tiles_from_slippy_map(root))
         self._by_tile = dict(self.tiles)
 
@@ -111,6 +112,8 @@ class BufferedSlippyMapDirectory:
         image = buffer_tile_image(
             tile, self._by_tile, overlap=self.overlap, tile_size=self.size, load=self._load_cached
         )
+        if self.transform is not None:
+            image = self.transform(image)
         return image, tile
 
     def unbuffer(self, probs):

@@ -152,13 +152,15 @@ class _Sites:
         return s
 
 
-def _walk(q, x, sites, compute_dtype, float_mode=False):
+def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
     """Float stem, then bottleneck stacks and the decoder, visiting conv
     sites in a fixed order. Mirrors resnet.apply_folded + unet.decode_s2d;
     returns s2d parity-blocked decoder features.
 
     In float_mode (calibration) `q` is the plain folded tree and every site
     runs in float via the same rewrites the int8 kernels were built from.
+    With `blocked`, `x` is 4x4 space-to-depth host-blocked normalized input
+    (N, H/4, W/4, 48) and the stem runs in its MXU-wide s2d form.
     """
     relu = jax.nn.relu
 
@@ -168,8 +170,13 @@ def _walk(q, x, sites, compute_dtype, float_mode=False):
             return conv_bias_apply(node, xx, stride=stride)
         return _int8_conv(node, xx, scale, stride=stride, compute_dtype=compute_dtype)
 
-    out = relu(conv_bias_apply(q["encoder"]["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
-    out = max_pool(out, window=3, stride=2, padding=1)
+    if blocked:
+        from robosat_tpu.models.resnet import stem_folded_s2d4
+
+        out = stem_folded_s2d4(q["encoder"]["conv1"], x)
+    else:
+        out = relu(conv_bias_apply(q["encoder"]["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
+        out = max_pool(out, window=3, stride=2, padding=1)
 
     skips = []
     for si, (blocks, _) in enumerate(RESNET50_STAGES):
@@ -212,25 +219,25 @@ def _walk(q, x, sites, compute_dtype, float_mode=False):
     return s2d_block("dec5", s2d_conv3x3_kernel, dec4)
 
 
-def calibration_amaxes(folded, x, compute_dtype=jnp.float32):
+def calibration_amaxes(folded, x, compute_dtype=jnp.float32, blocked=False):
     """Per-conv-site input amaxes from one float forward over batch `x`.
 
     Returns a float32 vector indexed by conv-site order (the order
     apply_features_int8 consumes). Jit this with real imagery.
     """
     sites = _Sites(scales=None)
-    _walk(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True)
+    _walk(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True, blocked=blocked)
     return jnp.stack(sites.taps).astype(jnp.float32)
 
 
-def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16):
+def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False):
     """Hybrid int8 forward to s2d decoder features: float stem -> int8
     bottleneck stacks -> int8 decoder (rewritten kernel forms). `scales` is
     a host float sequence (amax/127 per conv site, calibration order);
     returns parity-blocked NHWC features for
     robosat_tpu.ops.head.fused_prediction_head_s2d."""
     sites = _Sites(scales=list(scales))
-    features = _walk(qtree, x, sites, compute_dtype)
+    features = _walk(qtree, x, sites, compute_dtype, blocked=blocked)
     assert sites.idx == len(list(scales)), "conv-site count mismatch with calibration"
     return features
 

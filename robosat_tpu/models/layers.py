@@ -242,6 +242,99 @@ def s2d_conv3x3_kernel(w3):
     return k
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth STEM (input side)
+#
+# The ResNet stem (7x7/s2 conv on 3-channel input + 3x3/s2 max pool,
+# robosat/resnet torchvision layout; reference robosat/unet.py:87-97 reuses
+# torchvision's) is im2col-bound on TPU: with 3 input channels the MXU
+# contraction is ~21 elements wide and the conv sustains <8 of ~130 TFLOPs
+# (measured: 1.65 ms of a ~12 GFLOP conv at 8x576px). Blocking the input
+# 4x4 space-to-depth (= the stem's total stride) turns it into a 3x3 conv
+# over 16*Cin = 48 channels emitting all four 2x2 output parities at once —
+# a ~432-wide contraction that runs near MXU speed. The blocking itself is
+# a pure numpy reshape done on the HOST (the predict loader's decode
+# workers): on-device u8 transposes of the same data cost ~1 ms/batch.
+# Algebraically identical to conv7x7/s2 + pool up to fp summation order.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth4(x):
+    """(N, 4H, 4W, C) -> (N, H, W, 16C), block slot (er, ec) channel-minor:
+    out channel index = (er * 4 + ec) * C + c. Works on numpy or jnp arrays."""
+    n, h4, w4, c = x.shape
+    x = x.reshape(n, h4 // 4, 4, w4 // 4, 4, c)
+    if isinstance(x, np.ndarray):
+        return np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5)).reshape(n, h4 // 4, w4 // 4, 16 * c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h4 // 4, w4 // 4, 16 * c)
+
+
+def stem_s2d4_kernel(w7):
+    """7x7/stride-2 stem kernel -> its 4x4-space-to-depth form.
+
+    (7, 7, Cin, Cout) -> (3, 3, 16*Cin, 4*Cout): a 3x3 SAME conv over the
+    4x4-blocked grid computing all four output parities (fi, fj) of the
+    stride-2 fine conv. Output parity p = 2*fi + fj occupies channels
+    [p*Cout, (p+1)*Cout); input slot (er, ec) holds fine pixel
+    (4I + er, 4J + ec). Fine tap (t, s) of output parity at coarse (a, b):
+    t = 4a + er + 3 - 2*fi (pad-3 fine conv), kept when 0 <= t <= 6.
+    """
+    kh, kw, cin, cout = w7.shape
+    assert kh == 7 and kw == 7, "rewrite is specific to the 7x7 stem"
+    # Pad taps to 8x8 so index 7 reads zeros; gather with static index maps
+    # (traceable: `w7` may be a jit-traced parameter).
+    w7p = jnp.pad(jnp.asarray(w7), ((0, 1), (0, 1), (0, 0), (0, 0)))
+    blocks = []
+    for fi in (0, 1):
+        for fj in (0, 1):
+            t_map = np.full((3, 3, 16), 7)
+            s_map = np.full((3, 3, 16), 7)
+            for ai, a in enumerate((-1, 0, 1)):
+                for bi, b in enumerate((-1, 0, 1)):
+                    for er in range(4):
+                        for ec in range(4):
+                            t = 4 * a + er + 3 - 2 * fi
+                            s = 4 * b + ec + 3 - 2 * fj
+                            if 0 <= t <= 6 and 0 <= s <= 6:
+                                t_map[ai, bi, er * 4 + ec] = t
+                                s_map[ai, bi, er * 4 + ec] = s
+            blocks.append(w7p[t_map, s_map].reshape(3, 3, 16 * cin, cout))
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def pool3s2_from_parity(x, cout):
+    """3x3/stride-2/pad-1 max pool of a fine grid given as 2x2 parity blocks.
+
+    x: (N, H, W, 4*cout) parity-blocked (p = 2*fi + fj holds fine pixel
+    (2I + fi, 2J + fj)); returns the pooled fine grid (N, H, W, cout).
+    Pool output (I, J) covers fine rows 2I-1..2I+1 = parity-1 of block I-1
+    and parities 0, 1 of block I (same for columns): nine shifted candidates
+    reduced with max — XLA fuses them into one pass over the four planes.
+    """
+    p = [x[..., k * cout : (k + 1) * cout] for k in range(4)]
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+
+    def up(t):
+        return jnp.pad(t, ((0, 0), (1, 0), (0, 0), (0, 0)), constant_values=neg)[:, :-1]
+
+    def left(t):
+        return jnp.pad(t, ((0, 0), (0, 0), (1, 0), (0, 0)), constant_values=neg)[:, :, :-1]
+
+    cands = []
+    for fi, row_shift in ((1, True), (0, False), (1, False)):
+        for fj, col_shift in ((1, True), (0, False), (1, False)):
+            t = p[fi * 2 + fj]
+            if row_shift:
+                t = up(t)
+            if col_shift:
+                t = left(t)
+            cands.append(t)
+    out = cands[0]
+    for t in cands[1:]:
+        out = jnp.maximum(out, t)
+    return out
+
+
 def space_to_depth2(x):
     """(N, 2H, 2W, C) -> (N, H, W, 4C), parity-blocked (p = 2*di + dj)."""
     n, h2, w2, c = x.shape

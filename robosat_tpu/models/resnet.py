@@ -12,6 +12,7 @@ when available.
 """
 
 import jax
+import jax.numpy as jnp
 
 from robosat_tpu.models.layers import (
     bn_apply,
@@ -119,11 +120,8 @@ def _bottleneck_apply_folded(params, x, stride, dilation=1):
     return jax.nn.relu(out + shortcut)
 
 
-def apply_folded(folded, x, dilate_last_stage=False):
-    """Inference forward over BN-folded params; returns (enc1..enc4)."""
-    out = jax.nn.relu(conv_bias_apply(folded["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
-    out = max_pool(out, window=3, stride=2, padding=1)
-
+def apply_folded_stages(folded, out, dilate_last_stage=False):
+    """The four bottleneck stages on a pooled stem output; returns (enc1..enc4)."""
     skips = []
     for si, (blocks, _) in enumerate(RESNET50_STAGES):
         name = "layer{}".format(si + 1)
@@ -134,6 +132,37 @@ def apply_folded(folded, x, dilate_last_stage=False):
             out = _bottleneck_apply_folded(folded[name][bi], out, stride, dilation)
         skips.append(out)
     return tuple(skips)
+
+
+def apply_folded(folded, x, dilate_last_stage=False):
+    """Inference forward over BN-folded params; returns (enc1..enc4)."""
+    out = jax.nn.relu(conv_bias_apply(folded["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
+    out = max_pool(out, window=3, stride=2, padding=1)
+    return apply_folded_stages(folded, out, dilate_last_stage)
+
+
+def stem_folded_s2d4(folded_conv1, x48):
+    """The folded stem (conv7x7/s2 + bias + relu + maxpool3/s2) on 4x4
+    space-to-depth input: x48 (N, H/4, W/4, 16*Cin) normalized — one MXU-wide
+    3x3 conv emitting the four stride-2 output parities, pooled in parity
+    space. Returns (N, H/4, W/4, 64), identical to the fine stem up to fp
+    summation order (the 3-channel fine conv is im2col-bound; see
+    robosat_tpu.models.layers stem notes)."""
+    from robosat_tpu.models.layers import CONV_DIMS, pool3s2_from_parity, stem_s2d4_kernel
+    from jax import lax
+
+    w = folded_conv1["w"]
+    cout = w.shape[-1]
+    k = stem_s2d4_kernel(w)
+    out = lax.conv_general_dilated(x48, k.astype(x48.dtype), (1, 1), "SAME", dimension_numbers=CONV_DIMS)
+    b4 = jnp.tile(folded_conv1["b"], 4).astype(out.dtype)
+    return pool3s2_from_parity(jax.nn.relu(out + b4), cout)
+
+
+def apply_folded_s2d4(folded, x48, dilate_last_stage=False):
+    """`apply_folded` on 4x4 space-to-depth (host-blocked) normalized input."""
+    out = stem_folded_s2d4(folded["conv1"], x48)
+    return apply_folded_stages(folded, out, dilate_last_stage)
 
 
 def apply(params, state, x, train=False, dilate_last_stage=False):

@@ -171,3 +171,9 @@ def apply_features_folded_s2d(folded, x):
     n, h, w, c = x.shape
     assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
     return decode_s2d(folded, resnet.apply_folded(folded["encoder"], x))
+
+
+def apply_features_folded_s2d_from48(folded, x48):
+    """Space-to-depth end to end: 4x4 host-blocked normalized input
+    (N, H/4, W/4, 48) -> blocked stem -> stages -> s2d decoder features."""
+    return decode_s2d(folded, resnet.apply_folded_s2d4(folded["encoder"], x48))

@@ -24,7 +24,17 @@ from robosat_tpu.ops.quantize import softmax_quantize
 from robosat_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, fused_head=False, fold_bn=True, s2d=True):
+def _normalize_s2d4(raw48):
+    """Normalize 4x4 space-to-depth uint8 input (channel c is fine channel
+    c % 3; robosat_tpu.models.layers.space_to_depth4 layout)."""
+    from robosat_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD
+
+    return normalize(raw48, mean=IMAGENET_MEAN * 16, std=IMAGENET_STD * 16)
+
+
+def make_predict_step(
+    model, mesh=None, overlap=0, compute_dtype=jnp.float32, fused_head=False, fold_bn=True, s2d=True, host_s2d=False
+):
     """Compiled prediction: raw uint8 NHWC -> quantized fg uint8 N(H-2o)(W-2o).
 
     Inference optimizations (all preserve numerics to fp rounding):
@@ -41,19 +51,40 @@ def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, fu
 
     The returned step takes (params, state, raw) regardless — folding happens
     inside against the passed params so checkpoint reloads keep working.
+
+    With `host_s2d` (requires the s2d path) the step instead takes 4x4
+    space-to-depth uint8 input (N, H/4, W/4, 48) pre-blocked on the HOST
+    (robosat_tpu.models.layers.space_to_depth4 in the loader workers): the
+    stem runs as one MXU-wide blocked conv and no device-side uint8
+    transpose is needed.
     """
     use_fused = fused_head and hasattr(model, "apply_features")
     use_fold = fold_bn and hasattr(model, "fold")
     use_s2d = s2d and use_fused and use_fold and hasattr(model, "apply_features_folded_s2d")
+    use_host_s2d = host_s2d and use_s2d and hasattr(model, "apply_features_folded_s2d_from48")
+    # Host-blocked mode also returns the output parity-blocked: the host
+    # writer pool interleaves 2 MB of uint8 for free where the device u8
+    # depth-to-space transposes cost ~0.6 ms/batch.
+    blocked_out = use_host_s2d and overlap % 2 == 0
 
     def step(params, state, raw):
-        x = normalize(raw).astype(compute_dtype)
+        if use_host_s2d:
+            x = _normalize_s2d4(raw).astype(compute_dtype)
+        else:
+            x = normalize(raw).astype(compute_dtype)
         if use_fold:
             folded = model.fold(params, state)
             if use_s2d:
-                from robosat_tpu.ops.head import fused_prediction_head_s2d
+                from robosat_tpu.ops.head import fused_prediction_head_s2d, fused_prediction_head_s2d_blocked
 
-                features = model.apply_features_folded_s2d(folded, x)
+                if use_host_s2d:
+                    features = model.apply_features_folded_s2d_from48(folded, x)
+                else:
+                    features = model.apply_features_folded_s2d(folded, x)
+                if blocked_out:
+                    return fused_prediction_head_s2d_blocked(
+                        features, folded["final"]["w"], folded["final"]["b"], overlap=overlap
+                    )
                 return fused_prediction_head_s2d(
                     features, folded["final"]["w"], folded["final"]["b"], overlap=overlap
                 )
@@ -80,11 +111,11 @@ def make_predict_step(model, mesh=None, overlap=0, compute_dtype=jnp.float32, fu
     return jax.jit(
         step,
         in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh, 4)),
-        out_shardings=batch_sharding(mesh, 3),
+        out_shardings=batch_sharding(mesh, 4 if blocked_out else 3),
     )
 
 
-def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True):
+def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True, host_s2d=False):
     """Compiled hybrid-int8 prediction (U-Net only; robosat_tpu.models.int8:
     int8 bottleneck stacks, bf16 stem + s2d decoder).
 
@@ -92,22 +123,33 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
     real uint8 batch), quantizes weights per-channel, and returns
     (step, qtree): step(qtree, raw) -> quantized fg uint8. The scales bake
     into the program as constants so every quantize step is a fused epilogue.
+    With `host_s2d`, `calib_raw` and every step batch are 4x4 space-to-depth
+    host-blocked uint8 (N, H/4, W/4, 48).
     """
     import numpy as np
 
     from robosat_tpu.models import int8 as q8
 
+    norm = _normalize_s2d4 if host_s2d else normalize
     folded = jax.jit(model.fold)(params, state)
-    amaxes = np.asarray(jax.jit(lambda f, r: q8.calibration_amaxes(f, normalize(r)))(folded, calib_raw))
+    amaxes = np.asarray(
+        jax.jit(lambda f, r: q8.calibration_amaxes(f, norm(r), blocked=host_s2d))(folded, calib_raw)
+    )
     scales = tuple(q8.scales_from_amaxes(amaxes))
     qtree = jax.jit(q8.quantize_unet_folded)(folded)
 
-    def step(qtree, raw):
-        x = normalize(raw).astype(jnp.bfloat16)
-        features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16)
-        if fused_head:
-            from robosat_tpu.ops.head import fused_prediction_head_s2d
+    blocked_out = host_s2d and fused_head and overlap % 2 == 0
 
+    def step(qtree, raw):
+        x = norm(raw).astype(jnp.bfloat16)
+        features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d)
+        if fused_head:
+            from robosat_tpu.ops.head import fused_prediction_head_s2d, fused_prediction_head_s2d_blocked
+
+            if blocked_out:
+                return fused_prediction_head_s2d_blocked(
+                    features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap
+                )
             return fused_prediction_head_s2d(features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap)
         from robosat_tpu.models.layers import conv_apply, depth_to_space2
 
@@ -123,7 +165,7 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
     jitted = jax.jit(
         step,
         in_shardings=(replicated(mesh), batch_sharding(mesh, 4)),
-        out_shardings=batch_sharding(mesh, 3),
+        out_shardings=batch_sharding(mesh, 4 if blocked_out else 3),
     )
     return jitted, qtree
 

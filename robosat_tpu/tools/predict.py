@@ -73,13 +73,51 @@ def main(args):
     model = get_model(model_config["common"].get("model", "unet"))
     params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
 
+    compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
+    # `fused_head` (formerly `pallas_head`) in the model TOML; defaults on.
+    use_fused = model_config["common"].get("fused_head", model_config["common"].get("pallas_head", True))
+    # int8 = true in the model TOML runs the whole folded forward quantized
+    # (robosat_tpu/models/int8.py); calibration needs one real batch, so the
+    # step is built lazily inside the loop. U-Net only.
+    is_unet = model_config["common"].get("model", "unet") == "unet"
+    int8_mode = model_config["common"].get("int8", False) and is_unet
+    use_s2d = model_config["common"].get("s2d", True)
+    # Host-side 4x4 space-to-depth blocking of the input (loader workers do a
+    # numpy reshape; the stem then runs as one MXU-wide conv — device-side
+    # uint8 transposes cost ~1 ms/batch). U-Net s2d path, per-tile mode only.
+    buffered_side = args.tile_size + 2 * args.overlap
+    if is_unet and buffered_side % 64:
+        # The U-Net center block pools enc4 2x and upsamples back for the
+        # concat (robosat/unet.py:99-127): the buffered side must keep
+        # side/32 even or the skip shapes misalign.
+        sys.exit(
+            "Error: tile_size + 2*overlap must be a multiple of 64 (got {})".format(buffered_side)
+        )
+    use_host_s2d = (
+        model_config["common"].get("host_s2d", True)
+        and is_unet
+        and use_s2d
+        and use_fused
+        and args.strip <= 1
+        and buffered_side % 4 == 0
+    )
+
     if args.strip > 1:
         directory = StripBufferedSlippyMapDirectory(
             args.tiles, size=args.tile_size, overlap=args.overlap, strip=args.strip
         )
         total_tiles = sum(len(s) for s in directory.strips)
     else:
-        directory = BufferedSlippyMapDirectory(args.tiles, size=args.tile_size, overlap=args.overlap)
+        transform = None
+        if use_host_s2d:
+            from robosat_tpu.models.layers import space_to_depth4
+
+            def transform(image):
+                return space_to_depth4(image[None])[0]
+
+        directory = BufferedSlippyMapDirectory(
+            args.tiles, size=args.tile_size, overlap=args.overlap, transform=transform
+        )
         total_tiles = len(directory)
     assert len(directory) > 0, "at least one tile in dataset"
 
@@ -90,14 +128,6 @@ def main(args):
     per_item = max(args.strip, 1)
     batch_items = max(args.batch_size // per_item, 1)
     batch_size = -(-batch_items // len(devices)) * len(devices)
-
-    compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
-    # `fused_head` (formerly `pallas_head`) in the model TOML; defaults on.
-    use_fused = model_config["common"].get("fused_head", model_config["common"].get("pallas_head", True))
-    # int8 = true in the model TOML runs the whole folded forward quantized
-    # (robosat_tpu/models/int8.py); calibration needs one real batch, so the
-    # step is built lazily inside the loop. U-Net only.
-    int8_mode = model_config["common"].get("int8", False) and model_config["common"].get("model", "unet") == "unet"
 
     predict_step = None
     qtree = None
@@ -113,16 +143,27 @@ def main(args):
             overlap=args.overlap,
             compute_dtype=compute_dtype,
             fused_head=use_fused,
-            s2d=model_config["common"].get("s2d", True),
+            s2d=use_s2d,
+            host_s2d=use_host_s2d,
         )
     params = replicate(mesh, params)
     state = replicate(mesh, state)
+
+    # The host-blocked fast path returns the quantized output parity-blocked
+    # (N, size/2, size/2, 4); the writer pool interleaves it back to the fine
+    # grid (2 MB of numpy byte shuffling per batch, overlapped with device
+    # compute — the same transposes cost ~0.6 ms/batch on device).
+    blocked_out = use_host_s2d and args.overlap % 2 == 0
 
     palette = continuous_palette_for_color("pink", 256)
     writers = ThreadPoolExecutor(max_workers=max(args.workers, 2))
     pending = []
 
     def write_png(tile, quantized):
+        if blocked_out:
+            from robosat_tpu.models.layers import depth_to_space2
+
+            quantized = depth_to_space2(quantized[None])[0, :, :, 0]
         x, y, z = map(int, tile)
         out = Image.fromarray(quantized, mode="P")
         out.putpalette(palette)
@@ -145,7 +186,8 @@ def main(args):
             from robosat_tpu.parallel.steps import make_int8_predict_step
 
             predict_step, qtree = make_int8_predict_step(
-                model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused
+                model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
+                host_s2d=use_host_s2d,
             )
             qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):

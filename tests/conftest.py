@@ -10,7 +10,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's collective rendezvous spins, and its default termination timeout
+# is 40 s: on a 1-core harness the N-1 spinning device threads starve the one
+# doing compute between collectives, stragglers miss the window, and the
+# runtime hard-aborts the process ("Exiting to ensure a consistent program
+# state"). Raise the timeouts so sharded train steps are merely slow.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 # The axon TPU plugin overrides JAX_PLATFORMS during registration; an explicit
 # config update after import is the only reliable way to pin tests to CPU.
@@ -20,7 +32,33 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite compiles the full model graph many
 # times (train/eval/predict x mesh layouts); caching makes re-runs fast.
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+#
+# The cache key does NOT include host CPU features, and XLA:CPU persists AOT
+# machine code: loading an entry compiled on a differently-featured VM (this
+# harness migrates between machine types) aborts with SIGILL/"Fatal Python
+# error" mid-suite. Fingerprint the host's instruction-set flags into the
+# directory name so a migrated VM starts a fresh CPU cache instead of
+# executing foreign AOT code. (.jax_cache itself stays for TPU programs,
+# which execute on the device, not the host.)
+import hashlib  # noqa: E402
+
+
+def _host_fingerprint():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(" ".join(sorted(line.split())).encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), os.pardir, ".jax_cache_cpu_{}".format(_host_fingerprint())
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

@@ -78,3 +78,21 @@ def test_fused_head_rejects_multiclass():
     w = jnp.zeros((1, 1, 32, 3), jnp.float32)
     with pytest.raises(AssertionError):
         fused_prediction_head(features, w, jnp.zeros((3,)))
+
+
+def test_blocked_head_matches_s2d_head():
+    """The blocked-output head + host depth-to-space is bit-identical to the
+    device-interleaving s2d head."""
+    from robosat_tpu.models.layers import depth_to_space2
+    from robosat_tpu.ops.head import fused_prediction_head_s2d, fused_prediction_head_s2d_blocked
+
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.normal(size=(2, 24, 24, 128)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.normal(size=(1, 1, 32, 2)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+
+    for overlap in (0, 8):
+        fine = np.asarray(fused_prediction_head_s2d(feats, w, b, overlap=overlap))
+        blocked = np.asarray(fused_prediction_head_s2d_blocked(feats, w, b, overlap=overlap))
+        interleaved = depth_to_space2(blocked)[:, :, :, 0]
+        assert np.array_equal(interleaved, fine)

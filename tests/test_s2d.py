@@ -100,3 +100,60 @@ def test_predict_step_s2d_matches_reference_path():
     diff = np.abs(a.astype(int) - b.astype(int))
     assert (diff <= 1).all()
     assert (diff == 0).mean() > 0.995
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth STEM (host-blocked input)
+# ---------------------------------------------------------------------------
+
+
+def test_stem_s2d4_matches_fine_stem():
+    """Blocked 3x3 stem conv + parity pool == conv7x7/s2 + bias + relu +
+    maxpool3/s2 (fp32, exact up to summation order)."""
+    from robosat_tpu.models.layers import (
+        max_pool,
+        pool3s2_from_parity,
+        space_to_depth4,
+        stem_s2d4_kernel,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    w7 = jnp.asarray(rng.normal(size=(7, 7, 3, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    fine = lax.conv_general_dilated(x, w7, (2, 2), ((3, 3), (3, 3)), dimension_numbers=CONV_DIMS)
+    fine = max_pool(jax.nn.relu(fine + b), window=3, stride=2, padding=1)
+
+    x48 = space_to_depth4(x)
+    out = _conv_same(stem_s2d4_kernel(w7), x48)
+    blocked = pool3s2_from_parity(jax.nn.relu(out + jnp.tile(b, 4)), 8)
+
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(fine), rtol=1e-4, atol=1e-4)
+
+
+def test_space_to_depth4_numpy_and_jnp_agree():
+    rng = np.random.default_rng(3)
+    from robosat_tpu.models.layers import space_to_depth4
+
+    x = rng.integers(0, 255, (2, 16, 24, 3), dtype=np.uint8)
+    a = space_to_depth4(x)
+    bjnp = np.asarray(space_to_depth4(jnp.asarray(x)))
+    assert a.shape == (2, 4, 6, 48)
+    assert np.array_equal(a, bjnp)
+
+
+def test_unet_from48_matches_s2d_path():
+    """Full folded forward from host-blocked input == the fine-input s2d
+    path (fp32)."""
+    from robosat_tpu.models import unet
+    from robosat_tpu.models.layers import space_to_depth4
+
+    params, state = unet.init(0, num_classes=2)
+    folded = unet.fold(params, state)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+
+    ref = np.asarray(jax.jit(unet.apply_features_folded_s2d)(folded, x))
+    got = np.asarray(jax.jit(unet.apply_features_folded_s2d_from48)(folded, space_to_depth4(x)))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
