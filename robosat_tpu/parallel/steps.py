@@ -188,7 +188,8 @@ def make_segment_step(model, mesh=None, compute_dtype=jnp.float32):
 
 
 def make_train_step(
-    model, loss_fn, optimizer, weight=None, mesh=None, compute_dtype=jnp.float32, augment=True, remat=False
+    model, loss_fn, optimizer, weight=None, mesh=None, compute_dtype=jnp.float32, augment=True, remat=False,
+    sync_bn=True,
 ):
     """Compiled training step.
 
@@ -199,6 +200,21 @@ def make_train_step(
     (jax.checkpoint), trading ~33% more FLOPs for not keeping every decoder
     activation live in HBM — this is what makes batch-64 512px training fit
     a single chip's 16 GB.
+
+    `sync_bn` (mesh mode) picks the batch-norm parallel semantics:
+
+    - True: global-batch statistics. The whole step runs under pjit with the
+      batch axis sharded; every BN mean/var compiles to an all-reduce over
+      the mesh (~2 collectives per BN layer, interleaved with compute).
+    - False: per-replica statistics — the reference's nn.DataParallel
+      behavior (robosat/tools/train.py:69; torch replicates the module and
+      each replica normalizes its own shard). Implemented with shard_map:
+      each device runs the full forward/backward on its local shard, then
+      ONE trailing round of collectives averages gradients, losses, counts,
+      and the BN running stats (torch keeps replica 0's stats; averaging is
+      equivalent in expectation and keeps replicas bit-identical). Total
+      collectives per step drop from ~110 to ~4 — this is also the path
+      that stays latency-tolerant on multi-host DCN meshes.
     """
     forward = model.apply
     if remat:
@@ -227,6 +243,42 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1, 2))
     rep = replicated(mesh)
+
+    if not sync_bn:
+        from jax.sharding import PartitionSpec as P
+
+        from robosat_tpu.parallel.mesh import DATA_AXIS
+
+        def local_step(params, state, opt_state, rng, images, masks):
+            # Per-device: distinct augmentation stream per shard.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            if augment:
+                images, masks = augment_batch(rng, images, masks)
+            x = normalize(images).astype(compute_dtype)
+
+            (loss, (new_state, logits)), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
+                params, state, x, masks
+            )
+            # One trailing collective round; everything before is shard-local.
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            counts = jax.lax.psum(confusion_counts(logits, masks), DATA_AXIS)
+            new_state = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, DATA_AXIS), new_state)
+
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_state, new_opt_state, loss, counts
+
+        batch_spec = P(DATA_AXIS)
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), batch_spec, batch_spec),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
     return jax.jit(
         step,
         in_shardings=(rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),

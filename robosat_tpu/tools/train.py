@@ -116,6 +116,10 @@ def main(args):
         mesh=mesh,
         compute_dtype=compute_dtype,
         remat=model_config["common"].get("remat", False),
+        # sync_bn = false in the model TOML selects the reference's
+        # per-replica DataParallel BN semantics (one trailing collective
+        # round instead of per-BN all-reduces; robosat/tools/train.py:69).
+        sync_bn=model_config["common"].get("sync_bn", True),
     )
     eval_step = make_eval_step(model, loss_fn, weight=weight, mesh=mesh, compute_dtype=compute_dtype)
 

@@ -1,8 +1,18 @@
-"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+"""Test configuration: force JAX onto a virtual multi-device CPU mesh.
 
 Mirrors the reference's CPU-only CI (reference .travis.yml:26-37) while also
 exercising multi-chip sharding without TPU hardware, per SURVEY.md section 4.
 Must run before anything imports jax.
+
+Two virtual devices, not eight: XLA:CPU device threads SPIN at collective
+rendezvous, so on this 1-core harness N-1 spinners starve the thread doing
+compute between collectives — an 8-device sync-BN train step (~110
+interleaved all-reduces) degrades from 8 s of compute to >30 minutes and
+then hits the runtime's 40 s rendezvous termination ("Fatal Python error").
+Two devices prove the same sharding/collective math (gradient psum, global-
+batch BN, batch sharding) at ~6x overhead instead of ~200x. The driver's
+dryrun_multichip still exercises wider meshes via the low-collective
+local-BN step.
 """
 
 import os
@@ -10,7 +20,7 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=2").strip()
 # XLA:CPU's collective rendezvous spins, and its default termination timeout
 # is 40 s: on a 1-core harness the N-1 spinning device threads starve the one
 # doing compute between collectives, stragglers miss the window, and the

@@ -1,8 +1,11 @@
-"""Mesh/sharding tests on the virtual 8-device CPU mesh.
+"""Mesh/sharding tests on the virtual multi-device CPU mesh.
 
 Validates the DataParallel replacement (SURVEY.md section 2.2): a train step
-sharded over 8 devices must produce the same math as the same step on one
+sharded over the mesh must produce the same math as the same step on one
 device — gradients reduce over the mesh, BN uses global-batch statistics.
+The mesh is 2 virtual devices on this harness (see tests/conftest.py: more
+device threads than cores livelocks XLA:CPU's spinning collective
+rendezvous); the sharding semantics proven here are device-count-invariant.
 """
 
 import jax
@@ -25,8 +28,8 @@ def setup():
     return params, state, images, masks
 
 
-def test_eight_devices_available():
-    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+def test_virtual_mesh_available():
+    assert len(jax.devices()) >= 2, "conftest must provide a multi-device CPU mesh"
 
 
 def test_train_step_mesh_matches_single_device(setup):
@@ -44,7 +47,7 @@ def test_train_step_mesh_matches_single_device(setup):
     step1 = make_train_step(unet, loss_fn, optimizer, weight=weight, mesh=None, augment=False)
     p1, s1, o1, loss1, counts1 = step1(params, state, optimizer.init(params), rng, images, masks)
 
-    # 8-device mesh, batch sharded.
+    # Multi-device mesh, batch sharded.
     mesh = create_mesh()
     step8 = make_train_step(unet, loss_fn, optimizer, weight=weight, mesh=mesh, augment=False)
     p8 = replicate(mesh, params)
@@ -52,7 +55,10 @@ def test_train_step_mesh_matches_single_device(setup):
     o8 = replicate(mesh, optimizer.init(params))
     p8, s8, o8, loss8, counts8 = step8(p8, s8, o8, rng, shard_batch(mesh, images), shard_batch(mesh, masks))
 
-    assert float(loss1) == pytest.approx(float(loss8), rel=1e-5)
+    # rel 5e-5: fp32 reassociation of the sharded loss reduction moves the
+    # scalar by ~1e-5 relative; semantic failures (per-shard BN, missing
+    # grad psum) move it by percent and break the checks below anyway.
+    assert float(loss1) == pytest.approx(float(loss8), rel=5e-5)
     np.testing.assert_array_equal(np.asarray(counts1), np.asarray(counts8))
 
     # The update direction must agree. Element-wise closeness is too strict:
@@ -112,3 +118,51 @@ def test_augmented_train_step_runs_on_mesh(setup):
         shard_batch(mesh, masks),
     )
     assert np.isfinite(float(loss))
+
+
+def test_local_bn_train_step_reference_semantics(setup):
+    """sync_bn=False = the reference's nn.DataParallel behavior: each replica
+    normalizes its own shard, gradients/losses/stats average at step end.
+    With every shard fed IDENTICAL samples, the local-BN sharded step must
+    match the single-device step on one shard exactly (all per-shard math is
+    the same, the trailing pmeans average equal values)."""
+    params, state, images, masks = setup
+    n_dev = len(jax.devices())
+    loss_fn = get_loss("CrossEntropy")
+    optimizer = optax.sgd(1e-3)
+
+    # One shard's worth of data, tiled to every device.
+    per = 2
+    shard_imgs, shard_masks = images[:per], masks[:per]
+    tiled_imgs = np.concatenate([shard_imgs] * n_dev, axis=0)
+    tiled_masks = np.concatenate([shard_masks] * n_dev, axis=0)
+
+    step1 = make_train_step(unet, loss_fn, optimizer, mesh=None, augment=False)
+    p1, s1, o1, loss1, counts1 = step1(
+        params, state, optimizer.init(params), jax.random.PRNGKey(0), shard_imgs, shard_masks
+    )
+
+    mesh = create_mesh()
+    stepL = make_train_step(unet, loss_fn, optimizer, mesh=mesh, augment=False, sync_bn=False)
+    pL, sL, oL, lossL, countsL = stepL(
+        replicate(mesh, params),
+        replicate(mesh, state),
+        replicate(mesh, optimizer.init(params)),
+        jax.random.PRNGKey(0),
+        shard_batch(mesh, tiled_imgs),
+        shard_batch(mesh, tiled_masks),
+    )
+
+    assert float(loss1) == pytest.approx(float(lossL), rel=1e-5)
+    np.testing.assert_array_equal(np.asarray(countsL), n_dev * np.asarray(counts1))
+    np.testing.assert_allclose(
+        np.asarray(s1["encoder"]["bn1"]["mean"]), np.asarray(sL["encoder"]["bn1"]["mean"]), atol=1e-5
+    )
+    delta1 = np.concatenate(
+        [(np.asarray(a) - np.asarray(b)).ravel() for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(params))]
+    )
+    deltaL = np.concatenate(
+        [(np.asarray(a) - np.asarray(b)).ravel() for a, b in zip(jax.tree_util.tree_leaves(pL), jax.tree_util.tree_leaves(params))]
+    )
+    cos = float(np.dot(delta1, deltaL) / (np.linalg.norm(delta1) * np.linalg.norm(deltaL) + 1e-30))
+    assert cos > 0.999, "local-BN update direction diverged: cos={}".format(cos)

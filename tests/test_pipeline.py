@@ -73,7 +73,11 @@ def workspace(tmp_path_factory):
     )
     save_config(
         {
-            "common": {"cuda": False, "batch_size": 2, "image_size": SIZE, "checkpoint": str(checkpoint_dir)},
+            "common": {"cuda": False, "batch_size": 2, "image_size": SIZE, "checkpoint": str(checkpoint_dir),
+                       # per-replica BN (reference DataParallel semantics): the sync-BN
+                       # pjit path interleaves ~110 all-reduces that XLA:CPU's spinning
+                       # rendezvous makes pathologically slow on this 1-core harness.
+                       "sync_bn": False},
             "opt": {"epochs": 1, "lr": 0.0001, "loss": "Lovasz"},
         },
         str(model_toml),
@@ -305,7 +309,7 @@ def test_train_resume_continues_epochs(workspace):
 
     save_config(
         {
-            "common": {"cuda": False, "batch_size": 2, "image_size": SIZE, "checkpoint": str(root / "checkpoints")},
+            "common": {"cuda": False, "batch_size": 2, "image_size": SIZE, "checkpoint": str(root / "checkpoints"), "sync_bn": False},
             "opt": {"epochs": 2, "lr": 0.0001, "loss": "Lovasz"},
         },
         str(root / "model2.toml"),
