@@ -63,4 +63,6 @@ def main(args):
         out.putpalette(palette)
 
         os.makedirs(os.path.join(args.masks, str(z), str(x)), exist_ok=True)
-        out.save(os.path.join(args.masks, str(z), str(x), "{}.png".format(y)), optimize=True)
+        # zlib level 1, not optimize=True: identical pixels, ~37x less encode
+        # CPU (docs/PERF.md "host pipeline"); reference robosat/tools/masks.py:69.
+        out.save(os.path.join(args.masks, str(z), str(x), "{}.png".format(y)), optimize=False, compress_level=1)

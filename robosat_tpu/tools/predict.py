@@ -51,6 +51,11 @@ def add_parser(subparser):
     parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
     parser.add_argument("--dataset", type=str, required=True, help="path to dataset configuration file")
     parser.add_argument("--profile", type=str, default=None, help="write a TensorBoard device trace to this directory")
+    parser.add_argument(
+        "--png_optimize",
+        action="store_true",
+        help="spend ~37x more encode CPU for ~12% smaller probability PNGs",
+    )
 
     parser.set_defaults(func=main)
 
@@ -169,7 +174,14 @@ def main(args):
         out.putpalette(palette)
         os.makedirs(os.path.join(args.probs, str(z), str(x)), exist_ok=True)
         path = os.path.join(args.probs, str(z), str(x), "{}.png".format(y))
-        out.save(path, optimize=True)
+        # optimize=True (the reference's choice, robosat/tools/predict.py:113)
+        # costs ~180 ms/tile of host CPU vs ~5 ms at zlib level 1 for +14%
+        # bytes — at ~900 tiles/s/chip device rate the optimizing encoder
+        # would need ~160 host cores per chip. Identical pixels either way.
+        if args.png_optimize:
+            out.save(path, optimize=True)
+        else:
+            out.save(path, optimize=False, compress_level=1)
 
     loader = batches(directory, batch_size, workers=max(args.workers, 2))
     progress = tqdm(total=total_tiles, desc="Eval", unit="tile", ascii=True)
@@ -180,21 +192,10 @@ def main(args):
         jax.profiler.start_trace(args.profile)
 
     size = args.tile_size
-    for batch in loader:
-        (images,) = batch.arrays
-        if int8_mode and predict_step is None:
-            from robosat_tpu.parallel.steps import make_int8_predict_step
 
-            predict_step, qtree = make_int8_predict_step(
-                model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
-                host_s2d=use_host_s2d,
-            )
-            qtree = replicate(mesh, qtree)
-        with jax.profiler.StepTraceAnnotation("predict_batch"):
-            if int8_mode:
-                quantized = np.asarray(predict_step(qtree, images))
-            else:
-                quantized = np.asarray(predict_step(params, state, images))
+    def flush(batch, device_out):
+        """Fetch a dispatched batch and hand tiles to the writer pool."""
+        quantized = np.asarray(device_out)
         for meta, q in zip(batch.meta, quantized[: batch.valid]):
             if args.strip > 1:
                 strip_tiles, valid = meta
@@ -205,6 +206,37 @@ def main(args):
                 pending.append(writers.submit(write_png, meta, q))
                 progress.update(1)
 
+    # Dispatch ahead, fetch behind: jax queues the compiled step
+    # asynchronously, so keeping a couple of batches in flight overlaps the
+    # device round trip (large over this harness's tunnel, real on any
+    # network-attached accelerator) with host decode and PNG encode.
+    in_flight = []
+    setup_done_t = None
+    for batch in loader:
+        (images,) = batch.arrays
+        if int8_mode and predict_step is None:
+            from robosat_tpu.parallel.steps import make_int8_predict_step
+
+            predict_step, qtree = make_int8_predict_step(
+                model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
+                host_s2d=use_host_s2d,
+            )
+            qtree = replicate(mesh, qtree)
+        if setup_done_t is None:
+            import time
+
+            setup_done_t = time.perf_counter()
+        with jax.profiler.StepTraceAnnotation("predict_batch"):
+            if int8_mode:
+                out = predict_step(qtree, images)
+            else:
+                out = predict_step(params, state, images)
+        in_flight.append((batch, out))
+        if len(in_flight) > 2:
+            flush(*in_flight.pop(0))
+    for item in in_flight:
+        flush(*item)
+
     if args.profile:
         jax.profiler.stop_trace()
 
@@ -212,6 +244,16 @@ def main(args):
         fut.result()
     writers.shutdown()
     progress.close()
+
+    # Steady-state stats for benchmarks (benchmarks/bench_e2e.py): tiles
+    # written and the wall time from after step build/calibration to the
+    # last PNG on disk.
+    import time
+
+    return {
+        "tiles": total_tiles,
+        "steady_s": (time.perf_counter() - setup_done_t) if setup_done_t else 0.0,
+    }
 
 
 if __name__ == "__main__":

@@ -156,7 +156,7 @@ class Predictor:
         out.putpalette(self.palette)
 
         buf = io.BytesIO()
-        out.save(buf, format="png", optimize=True)
+        out.save(buf, format="png", optimize=False, compress_level=1)  # serving latency > size
         return buf.getvalue()
 
 
