@@ -178,7 +178,7 @@ def main(args):
         # costs ~180 ms/tile of host CPU vs ~5 ms at zlib level 1 for +14%
         # bytes — at ~900 tiles/s/chip device rate the optimizing encoder
         # would need ~160 host cores per chip. Identical pixels either way.
-        if args.png_optimize:
+        if getattr(args, "png_optimize", False):
             out.save(path, optimize=True)
         else:
             out.save(path, optimize=False, compress_level=1)
