@@ -170,6 +170,44 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
     return jitted, qtree
 
 
+def make_spatial_predict_step(model, mesh, overlap=0, compute_dtype=jnp.float32):
+    """Whole-AOI prediction with the image HEIGHT sharded over the mesh.
+
+    The reference (and our per-tile path) handles tile seams by host-side
+    overlap stitching (robosat/datasets.py:83-136). On a mesh there is a
+    TPU-native alternative (SURVEY.md section 5 "long-context analog"):
+    feed one big buffered raster and shard its H axis; under jit the GSPMD
+    partitioner inserts the halo exchanges every convolution needs at shard
+    boundaries — collectives over ICI replace redundant host stitching, and
+    no shard ever sees a seam. Numerically identical to the unsharded
+    forward.
+
+    step(params, state, raw u8 (N, H, W, 3)) -> quantized fg uint8
+    (N, H-2*overlap, W-2*overlap); H must be divisible by 64 and by the
+    mesh size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from robosat_tpu.parallel.mesh import DATA_AXIS
+
+    def step(params, state, raw):
+        x = normalize(raw).astype(compute_dtype)
+        folded = model.fold(params, state)
+        from robosat_tpu.ops.head import fused_prediction_head_s2d
+
+        features = model.apply_features_folded_s2d(folded, x)
+        return fused_prediction_head_s2d(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
+
+    rep = replicated(mesh)
+    height_sharded = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+    out_sharded = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, height_sharded),
+        out_shardings=out_sharded,
+    )
+
+
 def make_segment_step(model, mesh=None, compute_dtype=jnp.float32):
     """Compiled hard-mask prediction for serving: raw uint8 -> argmax class uint8."""
 

@@ -166,3 +166,28 @@ def test_local_bn_train_step_reference_semantics(setup):
     )
     cos = float(np.dot(delta1, deltaL) / (np.linalg.norm(delta1) * np.linalg.norm(deltaL) + 1e-30))
     assert cos > 0.999, "local-BN update direction diverged: cos={}".format(cos)
+
+
+def test_spatial_predict_step_halo_exchange(setup):
+    """Whole-AOI prediction with the H axis sharded over the mesh must be
+    bit-identical to the single-device forward — GSPMD's halo exchange at
+    shard boundaries replaces host-side overlap stitching."""
+    from robosat_tpu.parallel.mesh import replicated
+    from robosat_tpu.parallel.steps import make_spatial_predict_step
+
+    params, state, _, _ = setup
+    mesh = create_mesh()
+    n_dev = len(jax.devices())
+    H = 64 * 2 * n_dev  # divisible by 64 and by the mesh size
+    raw = np.random.default_rng(3).integers(0, 255, (1, H, 128, 3), dtype=np.uint8)
+
+    sharded_step = make_spatial_predict_step(unet, mesh, overlap=32)
+    out_sharded = np.asarray(
+        sharded_step(replicate(mesh, params), replicate(mesh, state), jax.device_put(raw))
+    )
+
+    single = make_predict_step(unet, mesh=None, overlap=32, fused_head=True, fold_bn=True, s2d=True)
+    out_single = np.asarray(single(params, state, raw))
+
+    assert out_sharded.shape == (1, H - 64, 64)
+    np.testing.assert_array_equal(out_sharded, out_single)
