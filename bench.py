@@ -93,9 +93,11 @@ def main():
 
     run_chain(2)  # compile + warmup
 
-    short, long_ = 2, 10
-    t_short = min(_timed(run_chain, short) for _ in range(3))
-    t_long = min(_timed(run_chain, long_) for _ in range(3))
+    # 5 repetitions, min-of: the tunnel's RPC latency spikes 10-100x
+    # minute-to-minute and only adds, never subtracts.
+    short, long_ = 2, 12
+    t_short = min(_timed(run_chain, short) for _ in range(5))
+    t_long = min(_timed(run_chain, long_) for _ in range(5))
     per_batch = max((t_long - t_short) / (long_ - short), 1e-9)
 
     per_chip = batch / per_batch
