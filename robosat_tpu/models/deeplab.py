@@ -108,3 +108,81 @@ def apply(params, state, x, train=False):
 
     logits = conv_apply({"w": params["final"]["w"]}, out, stride=1) + params["final"]["b"].astype(out.dtype)
     return _resize_bilinear(logits, h, w), new_state
+
+
+# ---------------------------------------------------------------------------
+# Inference fast path: BN-folded forward + fused margin head
+# ---------------------------------------------------------------------------
+
+
+def fold(params, state):
+    """Fold every batch norm into its conv for inference."""
+    from robosat_tpu.models.layers import fold_conv_bn
+
+    folded = {"encoder": resnet.fold(params["encoder"], state["encoder"])}
+    for key in list(params):
+        if key in ("encoder", "final"):
+            continue
+        folded[key] = fold_conv_bn(params[key]["conv"], params[key]["bn"], state[key]["bn"])
+    folded["final"] = dict(params["final"])
+    return folded
+
+
+def _cbr_folded(node, x, dilation=1):
+    from robosat_tpu.models.layers import conv_bias_apply
+
+    return jax.nn.relu(conv_bias_apply(node, x, stride=1, dilation=dilation))
+
+
+def _decoder_folded(folded, x):
+    """Shared folded trunk up to the pre-classifier 256-ch features (1/4 res)."""
+    enc1, _, _, enc4 = resnet.apply_folded(folded["encoder"], x, dilate_last_stage=True)
+
+    branches = [_cbr_folded(folded["aspp1"], enc4)]
+    for i, rate in enumerate(ASPP_RATES):
+        branches.append(_cbr_folded(folded["aspp_d{}".format(i)], enc4, dilation=rate))
+    pooled = _cbr_folded(folded["aspp_pool"], jnp.mean(enc4, axis=(1, 2), keepdims=True))
+    branches.append(jnp.broadcast_to(pooled, branches[0].shape))
+    aspp = _cbr_folded(folded["aspp_proj"], jnp.concatenate(branches, axis=-1))
+
+    low = _cbr_folded(folded["lowlevel"], enc1)
+    up = _resize_bilinear(aspp, low.shape[1], low.shape[2])
+    out = _cbr_folded(folded["dec1"], jnp.concatenate([up, low], axis=-1))
+    return _cbr_folded(folded["dec2"], out)
+
+
+def apply_folded(folded, x):
+    """BN-free inference forward; returns full-resolution logits."""
+    n, h, w, _ = x.shape
+    out = _decoder_folded(folded, x)
+    logits = conv_apply({"w": folded["final"]["w"]}, out, stride=1) + folded["final"]["b"].astype(out.dtype)
+    return _resize_bilinear(logits, h, w)
+
+
+def predict_quantized_folded(folded, x, overlap=0):
+    """Fused binary prediction: margin at 1/4 resolution, bilinear to full.
+
+    The reference order is resize(logits) -> softmax; since bilinear resize
+    is linear, resize(l1) - resize(l0) == resize(l1 - l0), so the 256->2
+    classifier collapses to a 256->1 margin reduction at LOW resolution and
+    only one channel is ever upsampled — the full-res 2-channel logit
+    buffer (which XLA lane-pads 64x) never exists. Numerically identical
+    to softmax_quantize(apply_folded(...)) up to fp rounding.
+    """
+    from robosat_tpu.ops.head import _digitize_exact
+
+    n, h, w, _ = x.shape
+    out = _decoder_folded(folded, x)
+
+    w2 = jnp.asarray(folded["final"]["w"]).reshape(ASPP_CH, -1)
+    assert w2.shape[1] == 2, "fused head requires a binary model"
+    b2 = jnp.asarray(folded["final"]["b"]).reshape(2)
+    wm = (w2[:, 1] - w2[:, 0]).astype(jnp.float32)
+    bm = (b2[1] - b2[0]).astype(jnp.float32)
+
+    margin = jnp.sum(out.astype(jnp.float32) * wm, axis=-1, keepdims=True) + bm
+    margin = _resize_bilinear(margin, h, w)[..., 0]
+    quantized = _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
+    if overlap:
+        quantized = quantized[:, overlap:-overlap, overlap:-overlap]
+    return quantized

@@ -58,7 +58,7 @@ def make_predict_step(
     stem runs as one MXU-wide blocked conv and no device-side uint8
     transpose is needed.
     """
-    use_fused = fused_head and hasattr(model, "apply_features")
+    use_fused = fused_head and (hasattr(model, "apply_features") or hasattr(model, "predict_quantized_folded"))
     use_fold = fold_bn and hasattr(model, "fold")
     use_s2d = s2d and use_fused and use_fold and hasattr(model, "apply_features_folded_s2d")
     use_host_s2d = host_s2d and use_s2d and hasattr(model, "apply_features_folded_s2d_from48")
@@ -88,6 +88,9 @@ def make_predict_step(
                 return fused_prediction_head_s2d(
                     features, folded["final"]["w"], folded["final"]["b"], overlap=overlap
                 )
+            if use_fused and hasattr(model, "predict_quantized_folded"):
+                # Model-specific fused head (e.g. DeepLab's margin-then-resize).
+                return model.predict_quantized_folded(folded, x, overlap=overlap)
             if use_fused:
                 from robosat_tpu.ops.head import fused_prediction_head
 

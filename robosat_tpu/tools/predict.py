@@ -54,7 +54,7 @@ def add_parser(subparser):
     parser.add_argument(
         "--png_optimize",
         action="store_true",
-        help="spend ~37x more encode CPU for ~12% smaller probability PNGs",
+        help="spend ~37x more encode CPU for ~12%% smaller probability PNGs",
     )
 
     parser.set_defaults(func=main)
