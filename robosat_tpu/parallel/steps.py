@@ -212,11 +212,21 @@ def make_spatial_predict_step(model, mesh, overlap=0, compute_dtype=jnp.float32)
 
 
 def make_segment_step(model, mesh=None, compute_dtype=jnp.float32):
-    """Compiled hard-mask prediction for serving: raw uint8 -> argmax class uint8."""
+    """Compiled hard-mask prediction for serving: raw uint8 -> argmax class uint8.
+
+    Uses the BN-folded forward when the model provides one (serving latency:
+    the train-mode BN affines and full softmax are dead weight at argmax
+    time); for binary models argmax(l0, l1) == (l1 - l0 > 0) == the fused
+    margin head's probability >= 0.5, so folded and generic paths agree.
+    """
+    use_fold = hasattr(model, "fold") and hasattr(model, "apply_folded")
 
     def step(params, state, raw):
         x = normalize(raw).astype(compute_dtype)
-        logits, _ = model.apply(params, state, x, train=False)
+        if use_fold:
+            logits = model.apply_folded(model.fold(params, state), x)
+        else:
+            logits, _ = model.apply(params, state, x, train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
     if mesh is None:
