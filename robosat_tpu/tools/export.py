@@ -21,6 +21,15 @@ def add_parser(subparser):
     parser.add_argument("--image_size", type=int, default=512, help="image size to use for model")
     parser.add_argument("--checkpoint", type=str, required=True, help="model checkpoint to load")
     parser.add_argument("--batch_size", type=int, default=1, help="batch size baked into the export")
+    parser.add_argument(
+        "--graph",
+        type=str,
+        default="logits",
+        choices=("logits", "predict"),
+        help="logits: raw forward (float NHWC in -> logits); predict: the "
+        "deployed fast path (uint8 tiles in -> quantized prob uint8 out, "
+        "BN folded, fused margin head)",
+    )
     parser.add_argument("model", type=str, help="path to save the serialized StableHLO model to")
 
     parser.set_defaults(func=main)
@@ -42,11 +51,25 @@ def main(args):
     model = get_model("unet")
     params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
 
-    def forward(x):
-        logits, _ = model.apply(params, state, x, train=False)
-        return logits
+    if getattr(args, "graph", "logits") == "predict":
+        # The deployed inference program: uint8 tiles in, quantized
+        # probability uint8 out, BN folded, fused margin head (no overlap
+        # crop — croppping composes outside the artifact).
+        from robosat_tpu.parallel.steps import make_predict_step
 
-    spec = jax.ShapeDtypeStruct((args.batch_size, args.image_size, args.image_size, 3), jnp.float32)
+        step = make_predict_step(model, overlap=0, compute_dtype=jnp.bfloat16, fused_head=True)
+
+        def forward(x):
+            return step(params, state, x)
+
+        spec = jax.ShapeDtypeStruct((args.batch_size, args.image_size, args.image_size, 3), jnp.uint8)
+    else:
+
+        def forward(x):
+            logits, _ = model.apply(params, state, x, train=False)
+            return logits
+
+        spec = jax.ShapeDtypeStruct((args.batch_size, args.image_size, args.image_size, 3), jnp.float32)
     exported = jax_export.export(jax.jit(forward))(spec)
 
     with open(args.model, "wb") as fp:
