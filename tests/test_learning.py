@@ -69,3 +69,34 @@ def test_train_step_learns_separable_task():
     # Chance level on this task is ~0.013; 20 steps reach ~0.24. (The longer
     # variant — 16 images, 30 steps — reaches IoU > 0.5; this trimmed version
     # trades headroom for suite runtime.)
+
+
+def test_train_step_is_deterministic():
+    """Two runs from the same seed produce bit-identical parameters — the
+    compiled train step has no hidden nondeterminism (augmentation PRNG is
+    explicit, reductions are compiled once)."""
+    import optax
+
+    from robosat_tpu.models import unet
+    from robosat_tpu.ops.losses import get_loss
+    from robosat_tpu.parallel.steps import make_train_step
+
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    masks = rng.integers(0, 2, (2, 64, 64)).astype(np.int32)
+
+    def run():
+        params, state = unet.init(3, num_classes=2)
+        optimizer = optax.adam(1e-4)
+        step = make_train_step(unet, get_loss("CrossEntropy"), optimizer, augment=True)
+        opt_state = optimizer.init(params)
+        key = jax.random.PRNGKey(9)
+        for i in range(3):
+            params, state, opt_state, loss, _ = step(params, state, opt_state, jax.random.fold_in(key, i), images, masks)
+        return params, float(loss)
+
+    p1, l1 = run()
+    p2, l2 = run()
+    assert l1 == l2
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
