@@ -50,18 +50,59 @@ def _edge_quad(p1, p2, radius):
     )
 
 
+def _vertex_wedge(v, d1, d2, radius, quad_segs):
+    """The part of the radius-disc at `v` not covered by the edge quads.
+
+    An edge quad for p->v covers (around v) the half-plane u . d1 <= 0; the
+    quad for v->n covers u . d2 >= 0 — so the disc's uncovered directions
+    are exactly {u : u . d1 >= 0 and u . d2 <= 0}: a single wedge of angle
+    <= pi. Summed over a ring these wedges span the total exterior turn
+    (~2*pi), so replacing full discs with wedges cuts the union input from
+    ~4*quad_segs points per VERTEX to ~4*quad_segs points per RING with an
+    identical covered region (the wedge's straight edges lie on the quad
+    boundaries). Returns None when the wedge is (numerically) empty.
+    """
+    t1 = math.atan2(d1[1], d1[0])
+    t2 = math.atan2(d2[1], d2[0])
+    turn = (t2 - t1 + math.pi) % (2.0 * math.pi) - math.pi  # signed, (-pi, pi]
+    span = abs(turn)
+    if span < 1e-9:
+        return None
+    # The gap sits opposite the turn: right turns (turn < 0) leave the arc
+    # [t2 + pi/2, t1 + pi/2] uncovered, left turns the arc [t1 - pi/2,
+    # t2 - pi/2]; both have angular width |turn|.
+    a_start = (t2 + 0.5 * math.pi) if turn < 0 else (t1 - 0.5 * math.pi)
+    steps = max(int(math.ceil(span / (0.5 * math.pi / max(quad_segs, 1)))), 1)
+    angles = a_start + span * np.arange(steps + 1) / steps
+    arc = np.stack([v[0] + radius * np.cos(angles), v[1] + radius * np.sin(angles)], axis=1)
+    return np.concatenate([[v], arc])
+
+
 def _path_pieces(coords, radius, quad_segs, closed):
-    """Convex pieces (edge quads + vertex discs) covering a path's dilation."""
+    """Convex pieces (edge quads + vertex wedges) covering a path's dilation."""
     pieces = []
     n = len(coords)
     last = n if closed else n - 1
+    dirs = {}
     for i in range(last):
         p1 = coords[i]
         p2 = coords[(i + 1) % n]
         quad = _edge_quad(p1, p2, radius)
         if quad is not None:
             pieces.append(Polygon(quad))
+            dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+            length = math.hypot(dx, dy)
+            dirs[i] = (dx / length, dy / length)
     for i in range(n):
+        prev_edge = (i - 1) % n
+        if closed or 0 < i < n - 1:
+            if prev_edge in dirs and i in dirs:
+                wedge = _vertex_wedge(coords[i], dirs[prev_edge], dirs[i], radius, quad_segs)
+                if wedge is not None:
+                    pieces.append(Polygon(wedge))
+                continue
+        # Path ends (open paths) and vertices with degenerate neighbor edges
+        # keep the full disc — always a superset of any wedge.
         pieces.append(Polygon(_disc(coords[i], radius, quad_segs)))
     return pieces
 
