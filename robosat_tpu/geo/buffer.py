@@ -79,28 +79,76 @@ def _vertex_wedge(v, d1, d2, radius, quad_segs):
 
 
 def _path_pieces(coords, radius, quad_segs, closed):
-    """Convex pieces (edge quads + vertex wedges) covering a path's dilation."""
+    """Convex pieces (edge quads + vertex wedges) covering a path's dilation.
+
+    Vectorized: edge directions, quads, and vertex turn angles are computed
+    for the whole path at once; only the per-vertex arc assembly (variable
+    length) stays in Python.
+    """
     pieces = []
+    coords = np.asarray(coords, dtype=np.float64)
     n = len(coords)
     last = n if closed else n - 1
-    dirs = {}
-    for i in range(last):
-        p1 = coords[i]
-        p2 = coords[(i + 1) % n]
-        quad = _edge_quad(p1, p2, radius)
-        if quad is not None:
-            pieces.append(Polygon(quad))
-            dx, dy = p2[0] - p1[0], p2[1] - p1[1]
-            length = math.hypot(dx, dy)
-            dirs[i] = (dx / length, dy / length)
-    for i in range(n):
-        prev_edge = (i - 1) % n
-        if closed or 0 < i < n - 1:
-            if prev_edge in dirs and i in dirs:
+    if last <= 0:
+        pieces.append(Polygon(_disc(coords[0], radius, quad_segs)))
+        return pieces
+
+    if last < 32:
+        # Scalar path: numpy batch overhead beats the loop on small rings
+        # (the 2000 7-vertex lots of a merge dominate call counts; the big
+        # eroded outlines dominate per-call cost and take the branch below).
+        dirs = {}
+        for i in range(last):
+            quad = _edge_quad(coords[i], coords[(i + 1) % n], radius)
+            if quad is not None:
+                pieces.append(Polygon(quad))
+                d = coords[(i + 1) % n] - coords[i]
+                dirs[i] = d / math.hypot(d[0], d[1])
+        for i in range(n):
+            prev_edge = (i - 1) % n
+            if (closed or 0 < i < n - 1) and prev_edge in dirs and i in dirs:
                 wedge = _vertex_wedge(coords[i], dirs[prev_edge], dirs[i], radius, quad_segs)
                 if wedge is not None:
                     pieces.append(Polygon(wedge))
                 continue
+            pieces.append(Polygon(_disc(coords[i], radius, quad_segs)))
+        return pieces
+
+    p1 = coords[:last]
+    p2 = coords[(np.arange(last) + 1) % n]
+    delta = p2 - p1
+    length = np.hypot(delta[:, 0], delta[:, 1])
+    ok = length > 0.0
+    # Edge quads: both offset rails at once.
+    norm = np.zeros_like(delta)
+    norm[ok] = delta[ok] / length[ok, None] * radius
+    off = np.stack([-norm[:, 1], norm[:, 0]], axis=1)
+    quads = np.stack([p1 + off, p2 + off, p2 - off, p1 - off], axis=1)
+    for i in np.nonzero(ok)[0]:
+        pieces.append(Polygon(quads[i]))
+
+    dirs = np.zeros_like(delta)
+    dirs[ok] = delta[ok] / length[ok, None]
+    theta = np.arctan2(dirs[:, 1], dirs[:, 0])
+
+    step_cap = 0.5 * math.pi / max(quad_segs, 1)
+    for i in range(n):
+        prev_edge = (i - 1) % n
+        if (closed or 0 < i < n - 1) and prev_edge < last and i < last and ok[prev_edge] and ok[i]:
+            t1, t2 = theta[prev_edge], theta[i]
+            turn = (t2 - t1 + math.pi) % (2.0 * math.pi) - math.pi
+            span = abs(turn)
+            if span < 1e-9:
+                continue
+            # The gap sits opposite the turn (see _vertex_wedge).
+            a_start = (t2 + 0.5 * math.pi) if turn < 0 else (t1 - 0.5 * math.pi)
+            steps = max(int(math.ceil(span / step_cap)), 1)
+            angles = a_start + span * np.arange(steps + 1) / steps
+            arc = np.stack(
+                [coords[i, 0] + radius * np.cos(angles), coords[i, 1] + radius * np.sin(angles)], axis=1
+            )
+            pieces.append(Polygon(np.concatenate([coords[i : i + 1], arc])))
+            continue
         # Path ends (open paths) and vertices with degenerate neighbor edges
         # keep the full disc — always a superset of any wedge.
         pieces.append(Polygon(_disc(coords[i], radius, quad_segs)))
