@@ -57,7 +57,8 @@ def main():
 
     overlap, tile_size = 32, 512
     side = tile_size + 2 * overlap
-    batch = 8
+    # Batch 16 measures ~2-3% above 8 (sweep in docs/PERF.md); both flat.
+    batch = 16
 
     rng = np.random.default_rng(0)
     raw48 = space_to_depth4(rng.integers(0, 255, (batch, side, side, 3), dtype=np.uint8))
