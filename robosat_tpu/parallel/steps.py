@@ -97,7 +97,10 @@ def make_predict_step(
                 features = model.apply_features_folded(folded, x)
                 return fused_prediction_head(features, folded["final"]["w"], folded["final"]["b"], overlap=overlap)
             logits = model.apply_folded(folded, x)
-        elif use_fused:
+        elif use_fused and hasattr(model, "apply_features"):
+            # Models exposing only predict_quantized_folded (e.g. DeepLab)
+            # pass the use_fused gate but have no unfolded feature path;
+            # they fall through to the generic apply below.
             from robosat_tpu.ops.head import fused_prediction_head
 
             features, _ = model.apply_features(params, state, x, train=False)

@@ -222,15 +222,20 @@ def main(args):
                 host_s2d=use_host_s2d,
             )
             qtree = replicate(mesh, qtree)
-        if setup_done_t is None:
-            import time
-
-            setup_done_t = time.perf_counter()
         with jax.profiler.StepTraceAnnotation("predict_batch"):
             if int8_mode:
                 out = predict_step(qtree, images)
             else:
                 out = predict_step(params, state, images)
+        if setup_done_t is None:
+            # Start the steady-state clock only after the first batch's
+            # result is materialized, so first-call XLA compilation (step
+            # and jitted int8 quantize) never leaks into steady_s even on a
+            # cold compile cache.
+            import time
+
+            jax.block_until_ready(out)
+            setup_done_t = time.perf_counter()
         in_flight.append((batch, out))
         if len(in_flight) > 2:
             flush(*in_flight.pop(0))
