@@ -164,11 +164,11 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
     """
     relu = jax.nn.relu
 
-    def conv(node, xx, stride=1):
+    def conv(node, xx, stride=1, padding="SAME"):
         scale = sites.next_scale(xx)
         if float_mode:  # every folded encoder conv carries a bias (BN fold)
-            return conv_bias_apply(node, xx, stride=stride)
-        return _int8_conv(node, xx, scale, stride=stride, compute_dtype=compute_dtype)
+            return conv_bias_apply(node, xx, stride=stride, padding=padding)
+        return _int8_conv(node, xx, scale, stride=stride, padding=padding, compute_dtype=compute_dtype)
 
     if blocked:
         from robosat_tpu.models.resnet import stem_folded_s2d4
@@ -185,7 +185,9 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
             qb = q["encoder"][name][bi]
             stride = 2 if (bi == 0 and si > 0) else 1
             inner = relu(conv(qb["conv1"], out))
-            inner = relu(conv(qb["conv2"], inner, stride=stride))
+            # Torch-style (1, 1) padding: SAME would pad (0, 1) at stride 2
+            # (see resnet._bottleneck_apply).
+            inner = relu(conv(qb["conv2"], inner, stride=stride, padding=((1, 1), (1, 1))))
             inner = conv(qb["conv3"], inner)
             shortcut = conv(qb["down_conv"], out, stride=stride) if "down_conv" in qb else out
             out = relu(inner + shortcut)

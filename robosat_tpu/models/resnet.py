@@ -51,7 +51,9 @@ def _bottleneck_apply(params, state, x, stride, train, dilation=1):
     out = conv_apply(params["conv1"], x, stride=1)
     out, new_state["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train)
     out = jax.nn.relu(out)
-    out = conv_apply(params["conv2"], out, stride=stride, dilation=dilation)
+    # Explicit torch-style symmetric padding: XLA's SAME pads (0, 1) for the
+    # stride-2 case where torch pads (1, 1) — one-pixel shift vs torchvision.
+    out = conv_apply(params["conv2"], out, stride=stride, dilation=dilation, padding=((dilation, dilation),) * 2)
     out, new_state["bn2"] = bn_apply(params["bn2"], state["bn2"], out, train)
     out = jax.nn.relu(out)
     out = conv_apply(params["conv3"], out, stride=1)
@@ -114,7 +116,9 @@ def fold(params, state):
 
 def _bottleneck_apply_folded(params, x, stride, dilation=1):
     out = jax.nn.relu(conv_bias_apply(params["conv1"], x, stride=1))
-    out = jax.nn.relu(conv_bias_apply(params["conv2"], out, stride=stride, dilation=dilation))
+    out = jax.nn.relu(
+        conv_bias_apply(params["conv2"], out, stride=stride, dilation=dilation, padding=((dilation, dilation),) * 2)
+    )
     out = conv_bias_apply(params["conv3"], out, stride=1)
     shortcut = conv_bias_apply(params["down_conv"], x, stride=stride) if "down_conv" in params else x
     return jax.nn.relu(out + shortcut)

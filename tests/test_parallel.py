@@ -59,7 +59,13 @@ def test_train_step_mesh_matches_single_device(setup):
     # scalar by ~1e-5 relative; semantic failures (per-shard BN, missing
     # grad psum) move it by percent and break the checks below anyway.
     assert float(loss1) == pytest.approx(float(loss8), rel=5e-5)
-    np.testing.assert_array_equal(np.asarray(counts1), np.asarray(counts8))
+    # Confusion counts: a pixel sitting exactly at the argmax margin can flip
+    # with the sharded reduction order (fp reassociation through sync-BN), so
+    # allow a couple of boundary pixels out of ~32k while pinning the total
+    # (a flipped prediction moves counts within a true-label row).
+    c1, c8 = np.asarray(counts1, np.int64), np.asarray(counts8, np.int64)
+    assert c1.sum() == c8.sum()
+    assert np.abs(c1 - c8).sum() <= 8, "confusion counts diverged: {} vs {}".format(c1, c8)
 
     # The update direction must agree. Element-wise closeness is too strict:
     # grads through train-mode BN at random init are ill-conditioned, and fp32

@@ -1,0 +1,260 @@
+"""Training-trajectory parity against the raw-torch reference trainer.
+
+Forward parity (test_torch_parity.py) pins inference; this pins the TRAIN
+semantics — the last unproven contract of the flagship path: train-mode
+batch-norm statistics + running-stat updates, weighted-NLL loss, gradient
+flow, and Adam updates must together reproduce the reference's optimization
+trajectory (robosat/tools/train.py:126-201: zero_grad -> forward -> criterion
+-> backward -> Adam step, criterion CrossEntropyLoss2d = weighted NLL,
+robosat/losses.py:8-25).
+
+Both sides start from the SAME converted initialization and see the SAME
+batches with augmentation off; per-step losses must agree to fp-accumulation
+tolerance and the BN running statistics must land together.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import torch.nn.functional as F  # noqa: E402
+
+from test_torch_checkpoint import _reference_style_state_dict  # noqa: E402
+from test_torch_parity import TorchReferenceUNet  # noqa: E402
+
+from robosat_tpu.checkpoint import convert_torch_unet  # noqa: E402
+from robosat_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
+
+
+def _make_batches(rng, steps, batch=2, size=64):
+    """Identical uint8 image + mask batches for both frameworks: blobs whose
+    interiors are brightened so the task is learnable, not pure noise."""
+    batches = []
+    for _ in range(steps):
+        images = rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
+        masks = np.zeros((batch, size, size), np.int64)
+        for b in range(batch):
+            cy, cx = rng.integers(16, size - 16, 2)
+            yy, xx = np.mgrid[0:size, 0:size]
+            blob = (np.abs(yy - cy) < 10) & (np.abs(xx - cx) < 10)
+            masks[b][blob] = 1
+            images[b][blob] = np.clip(images[b][blob].astype(np.int32) + 80, 0, 255).astype(np.uint8)
+        batches.append((images, masks))
+    return batches
+
+
+def _torch_trajectory(sd, batches, lr, weight):
+    """The reference hot loop (robosat/tools/train.py:171-194) in raw torch."""
+    net = TorchReferenceUNet()
+    net.load_state_dict({k[len("module.") :]: v for k, v in sd.items()}, strict=True)
+    net.train()
+    optimizer = torch.optim.Adam(net.parameters(), lr=lr)
+    criterion = torch.nn.NLLLoss(weight=torch.from_numpy(weight))
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    losses = []
+    for images, masks in batches:
+        x = (images.astype(np.float32) / 255.0 - mean) / std
+        x = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        optimizer.zero_grad()
+        outputs = net(x)
+        loss = criterion(F.log_softmax(outputs, dim=1), torch.from_numpy(masks))
+        loss.backward()
+        optimizer.step()
+        losses.append(float(loss.detach()))
+    return losses, net
+
+
+@pytest.mark.slow
+def test_train_step_gradient_parity_cross_entropy():
+    """One train step's ingredients agree tightly: train-mode forward loss
+    (batch-stat BN + weighted NLL) and the full parameter gradient. This is
+    the sharp pin — any semantic drift (wrong BN mode, unweighted NLL, eps
+    placement, missing log_softmax) breaks gradient direction immediately,
+    while fp noise leaves cosines at ~0.999+."""
+    import jax
+
+    from robosat_tpu.models import unet
+    from robosat_tpu.ops.augment import normalize
+    from robosat_tpu.ops.losses import get_loss
+
+    rng = np.random.default_rng(3)
+    weight = np.asarray([1.6248, 5.762827], np.float32)  # config/dataset-parking.toml
+    images, masks = _make_batches(rng, 1)[0]
+
+    sd = _reference_style_state_dict()
+    net = TorchReferenceUNet()
+    net.load_state_dict({k[len("module.") :]: v for k, v in sd.items()}, strict=True)
+    net.train()
+    criterion = torch.nn.NLLLoss(weight=torch.from_numpy(weight))
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    x = (images.astype(np.float32) / 255.0 - mean) / std
+    loss_t = criterion(
+        F.log_softmax(net(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))), dim=1), torch.from_numpy(masks)
+    )
+    loss_t.backward()
+    tgrads = {n: p.grad.detach().numpy() for n, p in net.named_parameters()}
+
+    params, state = convert_torch_unet(sd)
+    loss_fn = get_loss("CrossEntropy")
+
+    def loss_jax(params):
+        logits, _ = unet.apply(params, state, normalize(images).astype(np.float32), True)
+        return loss_fn(logits.astype(np.float32), masks.astype(np.int32), weight)
+
+    loss_j, grads = jax.jit(jax.value_and_grad(loss_jax))(params)
+    assert abs(float(loss_j) - float(loss_t)) <= 1e-3 * abs(float(loss_t))
+
+    def cosine(a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+
+    # Representative leaves across the depth (stem is the longest backprop
+    # path — fp noise through 53 batch-stat BNs caps its cosine lowest).
+    checks = [
+        ("final.weight", np.transpose(np.asarray(grads["final"]["w"]), (3, 2, 0, 1)), 0.9999),
+        ("dec3.block.block.weight", np.transpose(np.asarray(grads["dec3"]["w"]), (3, 2, 0, 1)), 0.999),
+        ("resnet.layer3.0.conv2.weight", np.transpose(np.asarray(grads["encoder"]["layer3"][0]["conv2"]["w"]), (3, 2, 0, 1)), 0.995),
+        ("resnet.conv1.weight", np.transpose(np.asarray(grads["encoder"]["conv1"]["w"]), (3, 2, 0, 1)), 0.99),
+        ("resnet.bn1.weight", np.asarray(grads["encoder"]["bn1"]["scale"]), 0.99),
+    ]
+    for tname, jgrad, floor in checks:
+        c = cosine(jgrad, tgrads[tname])
+        assert c >= floor, "gradient drifted at {}: cosine {} < {}".format(tname, c, floor)
+
+
+@pytest.mark.slow
+def test_train_trajectory_parity_cross_entropy():
+    """8 Adam steps from the same converted init on identical batches: the
+    JAX train step's per-step losses track the torch reference's, and the BN
+    running statistics land together.
+
+    lr is kept at 1e-4: Adam's first updates are ~sign(grad)*lr, so benign
+    fp-level gradient sign flips near zero perturb params by 2*lr — at 1e-3
+    the batch-2 trajectory is measurably chaotic for BOTH faithful
+    implementations (losses bounce 0.6-13), while semantic drift still
+    explodes within two steps at any lr."""
+    import jax
+    import optax
+
+    from robosat_tpu.models import unet
+    from robosat_tpu.ops.losses import get_loss
+    from robosat_tpu.parallel.steps import make_train_step
+
+    rng = np.random.default_rng(3)
+    steps, lr = 8, 1e-4
+    weight = np.asarray([1.6248, 5.762827], np.float32)  # config/dataset-parking.toml
+    batches = _make_batches(rng, steps)
+
+    sd = _reference_style_state_dict()
+    torch_losses, torch_net = _torch_trajectory(sd, batches, lr, weight)
+
+    params, state = convert_torch_unet(sd)
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    step = make_train_step(unet, get_loss("CrossEntropy"), optimizer, weight=weight, augment=False)
+
+    key = jax.random.PRNGKey(0)  # unused with augment off; required arg
+    jax_losses = []
+    for images, masks in batches:
+        params, state, opt_state, loss, _ = step(params, state, opt_state, key, images, masks.astype(np.int32))
+        jax_losses.append(float(loss))
+
+    # Semantic drift (wrong BN mode, unweighted NLL, eps placement, wrong
+    # Adam bias correction) shows up as >20% divergence within a step or two
+    # while losses are still large, so the 10% relative bound has teeth
+    # early; once the loss drops under ~1 the batch-2 fp chaos dominates
+    # (measured faithful-vs-faithful diffs reach ~0.19 absolute), hence the
+    # absolute floor. The gradient-parity test above is the sharp pin.
+    for i, (ours, ref) in enumerate(zip(jax_losses, torch_losses)):
+        assert abs(ours - ref) <= max(0.3, 0.10 * abs(ref)), (
+            "loss diverged at step {}: jax {} vs torch {} (full: {} vs {})".format(
+                i, ours, ref, jax_losses, torch_losses
+            )
+        )
+
+    # BN running statistics took the same trajectory (momentum 0.1 updates
+    # from batch statistics each step; torch tracks unbiased running var,
+    # ours biased — at 8192 reduction elements the factor is 1.0001).
+    torch_bn1_mean = torch_net.resnet.bn1.running_mean.detach().numpy()
+    torch_bn1_var = torch_net.resnet.bn1.running_var.detach().numpy()
+    ours_bn1_mean = np.asarray(state["encoder"]["bn1"]["mean"])
+    ours_bn1_var = np.asarray(state["encoder"]["bn1"]["var"])
+    np.testing.assert_allclose(ours_bn1_mean, torch_bn1_mean, atol=5e-3, rtol=5e-3)
+    np.testing.assert_allclose(ours_bn1_var, torch_bn1_var, atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_train_trajectory_parity_lovasz():
+    """Same trajectory pin under the reference's default Lovasz loss
+    (robosat/losses.py:86-119, config/model-unet.toml loss = 'lovasz');
+    the per-sample C*H*W hinge sort makes this the most order-sensitive
+    loss, so tolerances are looser but drift still bounds at ~10%."""
+    import jax
+    import optax
+
+    from robosat_tpu.models import unet
+    from robosat_tpu.ops.losses import get_loss
+    from robosat_tpu.parallel.steps import make_train_step
+
+    rng = np.random.default_rng(5)
+    steps, lr = 6, 1e-3
+    batches = _make_batches(rng, steps)
+
+    sd = _reference_style_state_dict()
+
+    # Reference LovaszLoss2d (robosat/losses.py:86-119) in raw torch.
+    def lovasz_torch(outputs, masks):
+        n = outputs.size(0)
+        onehot = torch.zeros_like(outputs).scatter_(1, masks.unsqueeze(1), 1.0)
+        flat_inputs = outputs.contiguous().view(n, -1)
+        flat_masks = onehot.contiguous().view(n, -1)
+        total = torch.tensor(0.0)
+        for mask, inp in zip(flat_masks, flat_inputs):
+            errors = 1.0 - mask * inp + (1.0 - mask) * inp
+            errors_sorted, order = torch.sort(errors, descending=True)
+            labels_sorted = mask[order]
+            inter = labels_sorted.sum() - labels_sorted.cumsum(0)
+            union = labels_sorted.sum() + (1.0 - labels_sorted).cumsum(0)
+            iou = 1.0 - inter / union
+            p = len(labels_sorted)
+            if p > 1:
+                iou[1:p] = iou[1:p] - iou[0:-1]
+            total = total + torch.dot(F.relu(errors_sorted), iou)
+        return total / n
+
+    net = TorchReferenceUNet()
+    net.load_state_dict({k[len("module.") :]: v for k, v in sd.items()}, strict=True)
+    net.train()
+    optimizer_t = torch.optim.Adam(net.parameters(), lr=lr)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    torch_losses = []
+    for images, masks in batches:
+        x = (images.astype(np.float32) / 255.0 - mean) / std
+        optimizer_t.zero_grad()
+        loss = lovasz_torch(net(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))), torch.from_numpy(masks))
+        loss.backward()
+        optimizer_t.step()
+        torch_losses.append(float(loss.detach()))
+
+    params, state = convert_torch_unet(sd)
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    step = make_train_step(unet, get_loss("Lovasz"), optimizer, weight=None, augment=False)
+    key = jax.random.PRNGKey(0)
+    jax_losses = []
+    for images, masks in batches:
+        params, state, opt_state, loss, _ = step(params, state, opt_state, key, images, masks.astype(np.int32))
+        jax_losses.append(float(loss))
+
+    for i, (ours, ref) in enumerate(zip(jax_losses, torch_losses)):
+        assert abs(ours - ref) <= max(0.05, 0.10 * abs(ref)), (
+            "Lovasz trajectory diverged at step {}: {} vs {} (full: {} vs {})".format(
+                i, ours, ref, jax_losses, torch_losses
+            )
+        )
