@@ -16,6 +16,19 @@ from PIL import Image
 from robosat_tpu.tiles import buffer_tile_image, tiles_from_slippy_map
 
 
+def _decode_rgb(path):
+    """Decode a tile to (H, W, 3) uint8: native codec fast path (C++ over
+    zlib/libjpeg-turbo/libwebp, GIL-released — robosat_tpu.native.imagecodec)
+    with PIL fallback for anything it declines."""
+    from robosat_tpu.native import imagecodec
+
+    decoded = imagecodec.decode_rgb(path)
+    if decoded is None:
+        with Image.open(path) as img:
+            decoded = np.asarray(img.convert("RGB"))
+    return decoded
+
+
 class SlippyMapTiles:
     """Tiles from one slippy-map directory, sorted by (x, y, z) like the
     reference's tile sort (robosat/datasets.py:27)."""
@@ -99,8 +112,7 @@ class BufferedSlippyMapDirectory:
             if path in self._cache:
                 self._cache.move_to_end(path)
                 return self._cache[path]
-        with Image.open(path) as img:
-            decoded = np.asarray(img.convert("RGB"))
+        decoded = _decode_rgb(path)
         with self._lock:
             self._cache[path] = decoded
             if len(self._cache) > self._cache_limit:
@@ -183,8 +195,7 @@ class StripBufferedSlippyMapDirectory:
             if path in self._cache:
                 self._cache.move_to_end(path)
                 return self._cache[path]
-        with Image.open(path) as img:
-            decoded = np.asarray(img.convert("RGB"))
+        decoded = _decode_rgb(path)
         with self._lock:
             self._cache[path] = decoded
             if len(self._cache) > self._cache_limit:

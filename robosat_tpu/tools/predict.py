@@ -164,21 +164,33 @@ def main(args):
     writers = ThreadPoolExecutor(max_workers=max(args.workers, 2))
     pending = []
 
-    def write_png(tile, quantized):
-        if blocked_out:
-            from robosat_tpu.models.layers import depth_to_space2
+    from robosat_tpu.native import imagecodec
 
-            quantized = depth_to_space2(quantized[None])[0, :, :, 0]
+    def write_png(tile, quantized):
         x, y, z = map(int, tile)
-        out = Image.fromarray(quantized, mode="P")
-        out.putpalette(palette)
         os.makedirs(os.path.join(args.probs, str(z), str(x)), exist_ok=True)
         path = os.path.join(args.probs, str(z), str(x), "{}.png".format(y))
         # optimize=True (the reference's choice, robosat/tools/predict.py:113)
         # costs ~180 ms/tile of host CPU vs ~5 ms at zlib level 1 for +14%
         # bytes — at ~900 tiles/s/chip device rate the optimizing encoder
         # would need ~160 host cores per chip. Identical pixels either way.
-        if getattr(args, "png_optimize", False):
+        optimize = getattr(args, "png_optimize", False)
+        if not optimize:
+            # Native C++ encoder (GIL-released); for the blocked fast path it
+            # fuses the parity interleave into scanline assembly, replacing
+            # the ~1.2 ms/tile numpy depth-to-space pass (docs/PERF.md).
+            if blocked_out:
+                if imagecodec.encode_palette_png_d2s(path, quantized, palette):
+                    return
+            elif imagecodec.encode_palette_png(path, quantized, palette):
+                return
+        if blocked_out:
+            from robosat_tpu.models.layers import depth_to_space2
+
+            quantized = depth_to_space2(quantized[None])[0, :, :, 0]
+        out = Image.fromarray(quantized, mode="P")
+        out.putpalette(palette)
+        if optimize:
             out.save(path, optimize=True)
         else:
             out.save(path, optimize=False, compress_level=1)
