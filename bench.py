@@ -1,6 +1,6 @@
 """Benchmark: `rs predict` device throughput on 512px tiles, one chip.
 
-Measures the compiled fast-path predict program exactly as `rs predict`
+Headline: the compiled fast-path predict program exactly as `rs predict`
 ships it with int8 = true in the model TOML (robosat_tpu/tools/predict.py):
 host-4x4-space-to-depth uint8 input, hybrid int8 forward (bf16 blocked stem,
 int8 bottleneck stacks + rewritten-kernel decoder, robosat_tpu/models/int8),
@@ -8,6 +8,11 @@ fused margin head with parity-blocked uint8 output (overlap crop included;
 the host writer pool interleaves). Compared against the 5,000 tiles/sec/chip
 north-star target (BASELINE.json). Reference hot loop:
 robosat/tools/predict.py:81-113.
+
+Also sweeps the full batch {8,16,32} x {bf16, int8} x {fine, host-blocked}
+matrix so round-over-round scaling/dtype claims are reproducible numbers;
+the matrix rides in the same single JSON line under "sweep"
+(ms/batch per cell) and non-headline cells use fewer repetitions.
 
 Methodology notes for this harness: the TPU is reached through a tunnel whose
 RPC round-trip dwarfs the device time of one batch, and `block_until_ready`
@@ -35,6 +40,7 @@ def _timed(fn, *args):
 
 def main():
     import os
+    import sys
 
     import jax
 
@@ -48,60 +54,96 @@ def main():
     from robosat_tpu.models import int8 as q8
     from robosat_tpu.models import unet
     from robosat_tpu.models.layers import space_to_depth4
-    from robosat_tpu.ops.head import fused_prediction_head_s2d_blocked
+    from robosat_tpu.ops.augment import normalize
+    from robosat_tpu.ops.head import fused_prediction_head_s2d, fused_prediction_head_s2d_blocked
     from robosat_tpu.parallel.steps import _normalize_s2d4
 
     device = jax.devices()[0]
-
     params, state = unet.init(0, num_classes=2)
 
     overlap, tile_size = 32, 512
     side = tile_size + 2 * overlap
-    # Batch 16 measures ~2-3% above 8 (sweep in docs/PERF.md); both flat.
-    batch = 16
+    headline_batch = 16  # measures ~2-3% above 8 (sweep below); both flat
 
     rng = np.random.default_rng(0)
-    raw48 = space_to_depth4(rng.integers(0, 255, (batch, side, side, 3), dtype=np.uint8))
+    raw_fine_all = rng.integers(0, 255, (32, side, side, 3), dtype=np.uint8)
 
     # Quantize once, exactly like make_int8_predict_step (parallel/steps.py).
     folded = jax.jit(unet.fold)(params, state)
+    raw48_cal = space_to_depth4(raw_fine_all[:8])
     amaxes = np.asarray(
-        jax.jit(lambda f, r: q8.calibration_amaxes(f, _normalize_s2d4(r), blocked=True))(folded, raw48)
+        jax.jit(lambda f, r: q8.calibration_amaxes(f, _normalize_s2d4(r), blocked=True))(folded, raw48_cal)
     )
     scales = tuple(q8.scales_from_amaxes(amaxes))
     qtree = jax.device_put(jax.jit(q8.quantize_unet_folded)(folded), device)
+    folded_d = jax.device_put(folded, device)
 
-    @jax.jit
-    def step(qtree, raw, salt):
-        # The exact program `rs predict` ships. The salt (previous step's
-        # checksum) forces sequential execution of queued steps; adding
-        # salt * 1e-30 in fp32 is value-neutral after the bf16 round but
-        # cannot be eliminated.
-        x = (_normalize_s2d4(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
-        features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=True)
-        quantized = fused_prediction_head_s2d_blocked(
-            features, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap
-        )
-        return jnp.sum(quantized.astype(jnp.int32))
+    def make_step(dtype, layout):
+        """One compiled predict step variant; salt threads the dependency."""
 
-    raw_d = jax.device_put(raw48, device)
+        blocked = layout == "blocked"
 
-    def run_chain(k):
-        salt = jnp.int32(0)
-        for _ in range(k):
-            salt = step(qtree, raw_d, salt)
-        return int(salt)  # single 4-byte fetch: one tunnel round trip
+        @jax.jit
+        def step(tree, raw, salt):
+            if blocked:
+                x = (_normalize_s2d4(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
+            else:
+                x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
+            if dtype == "int8":
+                features = q8.apply_features_int8(tree, scales, x, compute_dtype=jnp.bfloat16, blocked=blocked)
+            elif blocked:
+                features = unet.apply_features_folded_s2d_from48(tree, x)
+            else:
+                features = unet.apply_features_folded_s2d(tree, x)
+            if blocked:
+                quantized = fused_prediction_head_s2d_blocked(
+                    features, tree["final"]["w"], tree["final"]["b"], overlap=overlap
+                )
+            else:
+                quantized = fused_prediction_head_s2d(
+                    features, tree["final"]["w"], tree["final"]["b"], overlap=overlap
+                )
+            return jnp.sum(quantized.astype(jnp.int32))
 
-    run_chain(2)  # compile + warmup
+        return step
 
-    # 5 repetitions, min-of: the tunnel's RPC latency spikes 10-100x
-    # minute-to-minute and only adds, never subtracts.
-    short, long_ = 2, 12
-    t_short = min(_timed(run_chain, short) for _ in range(5))
-    t_long = min(_timed(run_chain, long_) for _ in range(5))
-    per_batch = max((t_long - t_short) / (long_ - short), 1e-9)
+    def measure(dtype, layout, batch, reps):
+        tree = qtree if dtype == "int8" else folded_d
+        raw = raw_fine_all[:batch]
+        if layout == "blocked":
+            raw = space_to_depth4(raw)
+        raw_d = jax.device_put(raw, device)
+        step = make_step(dtype, layout)
 
-    per_chip = batch / per_batch
+        def run_chain(k):
+            salt = jnp.int32(0)
+            for _ in range(k):
+                salt = step(tree, raw_d, salt)
+            return int(salt)  # single 4-byte fetch: one tunnel round trip
+
+        run_chain(2)  # compile + warmup
+        # min-of-reps: the tunnel's RPC latency spikes 10-100x minute-to-
+        # minute and only adds, never subtracts.
+        short, long_ = 2, 12
+        t_short = min(_timed(run_chain, short) for _ in range(reps))
+        t_long = min(_timed(run_chain, long_) for _ in range(reps))
+        return max((t_long - t_short) / (long_ - short), 1e-9)
+
+    sweep = {}
+    for dtype in ("int8", "bf16"):
+        for layout in ("blocked", "fine"):
+            for batch in (8, 16, 32):
+                key = "{}/{}/b{}".format(dtype, layout, batch)
+                is_headline = dtype == "int8" and layout == "blocked" and batch == headline_batch
+                try:
+                    per_batch = measure(dtype, layout, batch, reps=5 if is_headline else 3)
+                    sweep[key] = {"ms_per_batch": round(per_batch * 1e3, 3), "tiles_per_s": round(batch / per_batch, 1)}
+                except Exception as exc:  # noqa: BLE001 — a cell must not sink the headline
+                    sweep[key] = {"error": str(exc)[:160]}
+                print("{}: {}".format(key, sweep[key]), file=sys.stderr, flush=True)
+
+    headline = sweep["int8/blocked/b{}".format(headline_batch)]
+    per_chip = headline.get("tiles_per_s", 0.0)
 
     print(
         json.dumps(
@@ -110,6 +152,7 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "tiles/s/chip",
                 "vs_baseline": round(per_chip / TARGET, 4),
+                "sweep": sweep,
             }
         )
     )
