@@ -1,0 +1,199 @@
+"""Fused Pallas tail: dec4 + dec5 + prediction head in one VMEM-resident pass.
+
+The deployed int8 predict graph's tail runs three full passes over the
+288x288x128 half-resolution feature map (batch 8, 576px buffered input):
+dec4's s2d-up conv, dec5's s2d conv, and the fused margin head — with each
+intermediate round-tripping HBM (~85-170 MB per pass; per-op trace in
+docs/PERF.md "round 3"). XLA fuses elementwise chains into convolutions but
+never fuses conv -> conv, so that traffic is structural to the XLA graph.
+
+This kernel is the cross-conv fusion XLA cannot do: each grid program loads
+one row-strip of dec3's output (plus halo rows), quantizes it, runs BOTH
+3x3 convolutions as 9-tap int8 matmuls (K=128, N=128 — exact MXU lane
+sizes) entirely in VMEM, applies the margin head, and writes only the final
+uint8 tile bytes. The 3x3 SAME convs operate on the plain 288-space grid —
+the space-to-depth structure lives in the (pre-rewritten) kernels
+(robosat_tpu.models.layers.s2d_up_conv3x3_kernel / s2d_conv3x3_kernel), so
+no parity interleaves appear anywhere.
+
+Numerics: the int32 accumulators match lax.conv_general_dilated's exactly
+(integer addition commutes), and the dequant epilogues replicate
+models.int8._int8_conv bit for bit (acc * (ws * s) in f32, cast to the
+compute dtype, relu). The head replicates ops.head's margin-sigmoid-digitize
+chain; only the 32-wide f32 channel reduction has fp reassociation freedom
+vs the XLA einsum (tests pin exact agreement on the shipped graphs).
+
+Reference tail: robosat/unet.py:47-73 (DecoderBlock chain) +
+robosat/tools/predict.py:87-113 (softmax/digitize/crop).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from robosat_tpu.ops.head import _digitize_exact
+
+
+def _shift_cols(x, offset):
+    """(R, W, C) shifted along W by `offset` with zero fill (SAME padding)."""
+    if offset == 0:
+        return x
+    zeros = jnp.zeros_like(x[:, :1])
+    if offset < 0:  # tap reads column j-1: prepend zeros
+        return jnp.concatenate([zeros, x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], zeros], axis=1)
+
+
+def _conv3x3_strip(q_ext, w_taps, ws_scaled, rows_out, compute_dtype):
+    """9-tap 3x3 SAME conv over an extended (rows_out + 2, W, C) int8 strip.
+
+    `w_taps` is (9, Cin, Cout) int8 in (dr, dc) row-major tap order;
+    `ws_scaled` the (1, Cout) f32 dequant scale (weight scale x act scale).
+    Returns the relu'd compute-dtype (rows_out, W, Cout) strip.
+    """
+    R, W, cin = q_ext.shape
+    shifted = {b: _shift_cols(q_ext, b) for b in (-1, 0, 1)}
+    acc = None
+    for t, (a, b) in enumerate([(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]):
+        operand = shifted[b][a + 1 : a + 1 + rows_out].reshape(rows_out * W, cin)
+        d = jax.lax.dot_general(
+            operand, w_taps[t], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        acc = d if acc is None else acc + d
+    y = acc.astype(jnp.float32) * ws_scaled
+    cout = w_taps.shape[-1]
+    # Cast THEN relu — the exact order of int8._int8_conv + _walk's relu.
+    return jax.nn.relu(y.astype(compute_dtype)).reshape(rows_out, W, cout)
+
+
+def _tail_kernel(
+    x_ref, top_ref, bot_ref, w4_ref, s4_ref, w5_ref, s5_ref, wm_ref, bm_ref, o_ref,
+    *, s4_in, s5_in, s_strips, compute_dtype,
+):
+    s = pl.program_id(1)
+
+    def quant(v, scale):
+        # Division, not reciprocal-multiply: must match int8._quantize_act
+        # bit for bit.
+        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+
+    S = x_ref.shape[1]
+    x = quant(x_ref[0], jnp.float32(s4_in))  # (S, W, C)
+    top = quant(top_ref[0], jnp.float32(s4_in))  # (2, W, C)
+    bot = quant(bot_ref[0], jnp.float32(s4_in))
+    # Clamped halo indices alias interior rows at the edges; zero them there
+    # (SAME padding is zero). Top halo rows are [strip_start-2, strip_start);
+    # only the first strip needs zeros (both rows), symmetric at the bottom.
+    top = jnp.where(s == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(s == s_strips - 1, jnp.zeros_like(bot), bot)
+
+    ext4 = jnp.concatenate([top, x, bot], axis=0)  # (S + 4, W, C)
+
+    # dec4 over S + 2 rows (dec5 needs one halo row each side).
+    y4 = _conv3x3_strip(ext4, w4_ref, s4_ref[:], S + 2, compute_dtype)
+    q5 = quant(y4, jnp.float32(s5_in))
+    # First/last strips: dec5's halo rows beyond the image are zero. q5's
+    # edge rows were computed from zero-padded dec4 input, which yields
+    # relu(bias-free dequant of 0) = 0 only when taps cancel — they don't,
+    # so zero them explicitly where they fall outside the image.
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, q5.shape, 0)
+    first_bad = jnp.logical_and(s == 0, row_idx == 0)
+    last_bad = jnp.logical_and(s == s_strips - 1, row_idx == q5.shape[0] - 1)
+    q5 = jnp.where(jnp.logical_or(first_bad, last_bad), jnp.zeros_like(q5), q5)
+
+    y5 = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype)  # (S, W, C)
+
+    # Margin head: per-parity 32-channel f32 reduce + sigmoid + digitize
+    # (ops.head.fused_prediction_head_s2d_blocked without the crop — the
+    # caller slices the uint8).
+    W = y5.shape[1]
+    feats = y5.astype(jnp.float32) * wm_ref[:]  # (S, W, 128), wm tiled x4
+    margin = feats.reshape(S, W, 4, 32).sum(axis=-1) + bm_ref[0]
+    # No clip: the int32 -> uint8 cast carries the reference's p == 1.0
+    # wraparound quirk (digitize index 256 -> palette 0). The output block is
+    # (S, 4W) — a 4-lane minormost uint8 block crashes the Mosaic compiler,
+    # and (W, 4) -> 4W is a contiguous row-major merge.
+    q = _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
+    o_ref[0] = q.reshape(S, 4 * W)
+
+
+def tap_weights(wq):
+    """(3, 3, Cin, Cout) int8 kernel -> (9, Cin, Cout) in row-major tap order."""
+    return jnp.asarray(wq).reshape(9, wq.shape[2], wq.shape[3])
+
+
+def fused_tail(
+    x, node4, s4, node5, s5, w_final, b_final, overlap=0, strip_rows=8, compute_dtype=jnp.bfloat16, interpret=False
+):
+    """dec3 activations (N, H, W, 128) bf16 -> parity-blocked quantized
+    uint8 (N, H - overlap, W - overlap, 4), matching
+
+        y4 = relu(_int8_conv(node4, x, s4))          # s2d_up dec4
+        y5 = relu(_int8_conv(node5, y4, s5))         # s2d dec5
+        fused_prediction_head_s2d_blocked(y5, w_final, b_final, overlap)
+
+    on the shipped int8 graph (models/int8._walk tail).
+    """
+    n, h, w, c = x.shape
+    assert c == 128 and node4["wq"].shape[-1] == 128 and node5["wq"].shape[-1] == 128
+    S = strip_rows
+    assert h % S == 0, "strip_rows must divide H"
+    strips = h // S
+
+    w4 = tap_weights(node4["wq"])
+    ws4 = (node4["ws"].astype(jnp.float32) * jnp.float32(s4)).reshape(1, 128)
+    w5 = tap_weights(node5["wq"])
+    ws5 = (node5["ws"].astype(jnp.float32) * jnp.float32(s5)).reshape(1, 128)
+
+    w2 = jnp.asarray(w_final).reshape(32, 2)
+    b2 = jnp.asarray(b_final).reshape(2)
+    wm = jnp.tile((w2[:, 1] - w2[:, 0]).astype(jnp.float32), 4).reshape(1, 128)
+    bm = (b2[1] - b2[0]).astype(jnp.float32).reshape(1)
+
+    kernel = functools.partial(
+        _tail_kernel, s4_in=float(s4), s5_in=float(s5), s_strips=strips, compute_dtype=compute_dtype
+    )
+
+    def top_map(i, s, S=S):
+        # 2-row halo block above the strip; block height 2 => index in 2-row
+        # units, clamped to 0 at the first strip (zeroed in-kernel).
+        return (i, jnp.maximum(s * S - 2, 0) // 2, 0, 0)
+
+    def bot_map(i, s, S=S, h=h):
+        return (i, jnp.minimum((s + 1) * S, h - 2) // 2, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, 4 * w), jnp.uint8),
+        grid_spec=pl.GridSpec(
+            grid=(n, strips),
+            in_specs=[
+                pl.BlockSpec((1, S, w, c), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, w, c), top_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, w, c), bot_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, c, 128), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, c, 128), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, S, 4 * w), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * h * w * 9 * 128 * 128,
+            bytes_accessed=x.size * x.dtype.itemsize + n * h * w * 4,
+            transcendentals=n * h * w * 4,
+        ),
+        interpret=interpret,
+    )(x, x, x, w4, ws4, w5, ws5, wm, bm)
+
+    out = out.reshape(n, h, w, 4)
+    o = overlap // 2
+    if o:
+        out = out[:, o:-o, o:-o, :]
+    return out

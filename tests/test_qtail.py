@@ -1,0 +1,69 @@
+"""Fused Pallas tail (dec4 + dec5 + head): parity vs the shipped int8 chain.
+
+robosat_tpu.models.qtail.fused_tail must reproduce the three-op XLA tail —
+relu(int8 dec4) -> relu(int8 dec5) -> fused_prediction_head_s2d_blocked —
+on the same quantized nodes. The conv stages are bit-exact (integer
+accumulation commutes, identical epilogues); the head's 32-wide f32 channel
+reduction has fp reassociation freedom vs XLA's einsum, so the quantized
+output may differ only where a probability lands exactly on a 1/255 bin
+boundary — asserted to be zero pixels here and at most a handful in general.
+Runs in Pallas interpreter mode on CPU (the compiled Mosaic path is
+exercised on TPU by bench.py / rs predict).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robosat_tpu.models import int8 as q8
+from robosat_tpu.models import qtail
+from robosat_tpu.ops.head import fused_prediction_head_s2d_blocked
+
+
+def _ref_tail(x, node4, s4, node5, s5, w_final, b_final, overlap):
+    y4 = jax.nn.relu(q8._int8_conv(node4, x, s4, compute_dtype=jnp.bfloat16))
+    y5 = jax.nn.relu(q8._int8_conv(node5, y4, s5, compute_dtype=jnp.bfloat16))
+    return fused_prediction_head_s2d_blocked(y5, w_final, b_final, overlap=overlap)
+
+
+@pytest.mark.parametrize("overlap,h", [(0, 16), (8, 24)])
+def test_fused_tail_matches_shipped_chain(overlap, h):
+    rng = np.random.default_rng(0)
+    c = 128
+    node4 = q8._qkernel(jnp.asarray(rng.normal(0, 0.1, (3, 3, c, c)).astype(np.float32)))
+    node5 = q8._qkernel(jnp.asarray(rng.normal(0, 0.1, (3, 3, c, c)).astype(np.float32)))
+    w_final = jnp.asarray(rng.normal(0, 0.3, (1, 1, 32, 2)).astype(np.float32))
+    b_final = jnp.asarray(rng.normal(0, 0.1, (2,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.0, (2, h, h, c)), jnp.bfloat16)
+    s4, s5 = 0.021, 0.013
+
+    ref = np.asarray(_ref_tail(x, node4, s4, node5, s5, w_final, b_final, overlap))
+    got = np.asarray(
+        qtail.fused_tail(
+            x, node4, s4, node5, s5, w_final, b_final, overlap=overlap, strip_rows=8, interpret=True
+        )
+    )
+    assert got.shape == ref.shape
+    mismatches = int((got != ref).sum())
+    assert mismatches == 0, "fused tail diverged on {} / {} bytes".format(mismatches, ref.size)
+
+
+def test_fused_tail_edge_rows_zero_padded():
+    """The strip halos must implement zero SAME padding at the image borders:
+    compare against the reference on an input whose borders are large (so a
+    wrong halo would flip the quantized output there)."""
+    rng = np.random.default_rng(1)
+    c = 128
+    node4 = q8._qkernel(jnp.asarray(rng.normal(0, 0.2, (3, 3, c, c)).astype(np.float32)))
+    node5 = q8._qkernel(jnp.asarray(rng.normal(0, 0.2, (3, 3, c, c)).astype(np.float32)))
+    w_final = jnp.asarray(rng.normal(0, 0.5, (1, 1, 32, 2)).astype(np.float32))
+    b_final = jnp.zeros((2,), jnp.float32)
+    x = jnp.asarray(np.full((1, 16, 16, c), 3.0, np.float32), jnp.bfloat16)
+    s4, s5 = 0.05, 0.05
+
+    ref = np.asarray(_ref_tail(x, node4, s4, node5, s5, w_final, b_final, 0))
+    got = np.asarray(
+        qtail.fused_tail(x, node4, s4, node5, s5, w_final, b_final, overlap=0, strip_rows=8, interpret=True)
+    )
+    assert int((got != ref).sum()) == 0
