@@ -18,7 +18,22 @@ import math
 import numpy as np
 
 from robosat_tpu.geo import clip
-from robosat_tpu.geo.geometry import LineString, MultiPolygon, Polygon
+from robosat_tpu.geo.geometry import LineString, MultiPolygon, Polygon, ring_area
+
+
+def _native_buffer(rings, distance, quad_segs, mode):
+    """One-call native buffer (piece generation + overlay + linking in C++,
+    robosat_tpu/native/geometry.cpp rs_buffer_rings), or None when the
+    native engine is unavailable (callers fall back to the Python pieces
+    path, which doubles as the oracle in tests)."""
+    try:
+        from robosat_tpu import native
+    except Exception:  # pragma: no cover - import cycle safety
+        return None
+    if native.load() is None:
+        return None
+    out_rings, q = native.buffer_rings(rings, distance, quad_segs, mode)
+    return clip._assemble_polygons(out_rings, q)
 
 
 _UNIT_DISCS = {}
@@ -171,12 +186,27 @@ def buffer_geometry(geom, distance, quad_segs=8):
     if isinstance(geom, LineString):
         if distance < 0:
             return MultiPolygon([])
-        pieces = _path_pieces(np.asarray(geom.coords, dtype=np.float64), distance, quad_segs, closed=False)
+        coords = np.asarray(geom.coords, dtype=np.float64)
+        fast = _native_buffer([coords], distance, quad_segs, "dilate_path")
+        if fast is not None:
+            return fast
+        pieces = _path_pieces(coords, distance, quad_segs, closed=False)
         return clip.union_all(pieces)
 
     polys = geom.geoms if isinstance(geom, MultiPolygon) else [geom]
 
     if distance > 0:
+        # Canonical orientation (shells CCW, holes CW) for the winding union.
+        canonical = []
+        for p in polys:
+            shell = np.asarray(p.shell, np.float64)
+            canonical.append(shell if ring_area(shell) > 0 else shell[::-1])
+            for h in p.holes:
+                h = np.asarray(h, np.float64)
+                canonical.append(h if ring_area(h) < 0 else h[::-1])
+        fast = _native_buffer(canonical, distance, quad_segs, "dilate")
+        if fast is not None:
+            return fast
         pieces = []
         for p in polys:
             pieces.append(Polygon(p.shell, p.holes))
@@ -187,6 +217,10 @@ def buffer_geometry(geom, distance, quad_segs=8):
     # Negative buffer: erosion = P \ dilate(boundary(P), |distance|), with
     # base membership and halo winding tested in one overlay (clip.erode).
     r = -distance
+    base_rings = [np.asarray(ring, np.float64) for p in polys for ring in p.rings]
+    fast = _native_buffer(base_rings, r, quad_segs, "erode")
+    if fast is not None:
+        return fast
     base = MultiPolygon(list(polys))
     boundary_pieces = []
     for p in polys:

@@ -51,6 +51,14 @@ def load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.rs_buffer_rings.restype = ctypes.POINTER(ctypes.c_double)
+        lib.rs_buffer_rings.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.rs_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as exc:  # fall back to pure Python
@@ -100,6 +108,40 @@ def overlay_edges(rings_a, rings_b, op):
         lib.rs_free(ptr)
     edges = flat.reshape(-1, 4)
     return [((e[0], e[1]), (e[2], e[3])) for e in edges]
+
+
+BUFFER_MODES = {"dilate": 0, "dilate_path": 1, "erode": 2}
+
+
+def buffer_rings(rings, radius, quad_segs, mode):
+    """Native Minkowski buffer: piece generation + overlay + ring linking in
+    one call. `rings` are closed rings for dilate/erode (shells CCW, holes
+    CW for dilate) or open paths for dilate_path. Returns (rings, q) — the
+    welded boundary rings and the snap quantum the overlay used."""
+    lib = load()
+    assert lib is not None
+    ca, la, na, keep = _pack(rings)  # noqa: F841
+    lens_ptr = ctypes.POINTER(ctypes.c_int32)()
+    n_rings = ctypes.c_int64(0)
+    q = ctypes.c_double(0.0)
+    coords_ptr = lib.rs_buffer_rings(
+        ca, la, na, float(radius), int(quad_segs), BUFFER_MODES[mode],
+        ctypes.byref(lens_ptr), ctypes.byref(n_rings), ctypes.byref(q),
+    )
+    try:
+        if n_rings.value == 0:
+            return [], q.value
+        lens = np.ctypeslib.as_array(lens_ptr, shape=(n_rings.value,)).copy()
+        total = int(lens.sum())
+        coords = np.ctypeslib.as_array(coords_ptr, shape=(total * 2,)).copy().reshape(-1, 2)
+    finally:
+        lib.rs_free(coords_ptr)
+        lib.rs_free(lens_ptr)
+    out, off = [], 0
+    for n in lens:
+        out.append(coords[off : off + int(n)])
+        off += int(n)
+    return out, q.value
 
 
 def overlay_rings(rings_a, rings_b, op):

@@ -162,9 +162,12 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     add_rings(coords_b, rings_b, n_rings_b, 1);
     if (segs.empty()) return result;
 
-    // Pairwise splitting with an x-sorted sweep prefilter.
+    // Pairwise splitting with an x-sorted sweep prefilter. Split points
+    // collect into flat vectors (sorted + deduped at rebuild) — the former
+    // per-segment std::set cost one allocation per insertion, which
+    // dominated small overlays (the per-feature buffer unions of rs merge).
     size_t n = segs.size();
-    std::vector<std::set<std::pair<double, Pt>>> splits(n);
+    std::vector<std::vector<std::pair<double, Pt>>> splits(n);
     struct Box { double x0, y0, x1, y1; };
     std::vector<Box> boxes(n);
     for (size_t i = 0; i < n; i++) {
@@ -191,21 +194,21 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             for (const Pt& p : on_a) {
                 Pt sp{snap(p.x, q), snap(p.y, q)};
                 double t = param_on(sp, segs[i].p, segs[i].q);
-                if (t > 0.0) splits[i].insert({t, sp});
+                if (t > 0.0) splits[i].push_back({t, sp});
             }
             for (const Pt& p : on_b) {
                 Pt sp{snap(p.x, q), snap(p.y, q)};
                 double t = param_on(sp, segs[j].p, segs[j].q);
-                if (t > 0.0) splits[j].insert({t, sp});
+                if (t > 0.0) splits[j].push_back({t, sp});
             }
             // Weld endpoints onto segments passing within the snap quantum.
             for (const Pt& v : {segs[j].p, segs[j].q}) {
                 double t = param_near(v, segs[i].p, segs[i].q, q);
-                if (t > 0.0) splits[i].insert({t, v});
+                if (t > 0.0) splits[i].push_back({t, v});
             }
             for (const Pt& v : {segs[i].p, segs[i].q}) {
                 double t = param_near(v, segs[j].p, segs[j].q, q);
-                if (t > 0.0) splits[j].insert({t, v});
+                if (t > 0.0) splits[j].push_back({t, v});
             }
         }
     }
@@ -245,7 +248,17 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 par.second ^= segs[i].pb;
             }
         };
-        for (const auto& [t, sp] : splits[i]) {
+        auto& sp_list = splits[i];
+        std::sort(sp_list.begin(), sp_list.end(),
+                  [](const std::pair<double, Pt>& a, const std::pair<double, Pt>& b) {
+                      return a.first < b.first || (a.first == b.first && a.second < b.second);
+                  });
+        sp_list.erase(std::unique(sp_list.begin(), sp_list.end(),
+                                  [](const std::pair<double, Pt>& a, const std::pair<double, Pt>& b) {
+                                      return a.first == b.first && a.second == b.second;
+                                  }),
+                      sp_list.end());
+        for (const auto& [t, sp] : sp_list) {
             flush(prev, sp);
             prev = sp;
         }
@@ -537,6 +550,105 @@ LinkedRings link_rings(const std::vector<double>& edge_soup, double q) {
     return out;
 }
 
+
+// ---------------------------------------------------------------------------
+// Native Minkowski buffering (port of robosat_tpu/geo/buffer.py)
+//
+// Piece generation (edge quads + vertex wedges + endpoint discs) + the
+// boolean overlay + ring linking in ONE native call: the Python pieces path
+// built ~100 small numpy rings per feature and crossed ctypes once per
+// overlay, which dominated `rs merge` wall time (docs/PERF.md round 3).
+// ---------------------------------------------------------------------------
+
+double ring_signed_area(const std::vector<Pt>& r) {
+    double a = 0.0;
+    for (size_t i = 0; i < r.size(); i++) {
+        const Pt& p = r[i];
+        const Pt& q2 = r[(i + 1) % r.size()];
+        a += p.x * q2.y - q2.x * p.y;
+    }
+    return 0.5 * a;
+}
+
+struct RingSink {
+    std::vector<double> coords;
+    std::vector<int32_t> lens;
+    void add_ccw(std::vector<Pt>&& ring) {
+        if (ring.size() < 3) return;
+        if (ring_signed_area(ring) < 0.0) std::reverse(ring.begin(), ring.end());
+        lens.push_back((int32_t)ring.size());
+        for (const Pt& p : ring) {
+            coords.push_back(p.x);
+            coords.push_back(p.y);
+        }
+    }
+    void add_raw(const double* c, int len) {
+        lens.push_back((int32_t)len);
+        coords.insert(coords.end(), c, c + 2 * (size_t)len);
+    }
+};
+
+void add_disc(const Pt& c, double r, int quad_segs, RingSink& out) {
+    int n = std::max(4 * quad_segs, 4);
+    std::vector<Pt> ring(n);
+    for (int k = 0; k < n; k++) {
+        double a = k * (2.0 * M_PI / n);
+        ring[k] = Pt{c.x + r * std::cos(a), c.y + r * std::sin(a)};
+    }
+    out.add_ccw(std::move(ring));
+}
+
+// Port of buffer.py's _path_pieces scalar branch (the vectorized branch is
+// numerically identical): edge quads, per-vertex uncovered wedges, discs at
+// open-path endpoints and degenerate-neighbor vertices.
+void path_pieces(const Pt* pts, int n, bool closed, double r, int quad_segs, RingSink& out) {
+    int last = closed ? n : n - 1;
+    if (last <= 0) {
+        add_disc(pts[0], r, quad_segs, out);
+        return;
+    }
+    std::vector<Pt> dirs(last);
+    std::vector<char> ok(last, 0);
+    for (int i = 0; i < last; i++) {
+        const Pt& p1 = pts[i];
+        const Pt& p2 = pts[(i + 1) % n];
+        double dx = p2.x - p1.x, dy = p2.y - p1.y;
+        double len = std::hypot(dx, dy);
+        if (len == 0.0) continue;
+        ok[i] = 1;
+        dirs[i] = Pt{dx / len, dy / len};
+        double nx = -dy / len * r, ny = dx / len * r;
+        out.add_ccw({Pt{p1.x + nx, p1.y + ny}, Pt{p2.x + nx, p2.y + ny},
+                     Pt{p2.x - nx, p2.y - ny}, Pt{p1.x - nx, p1.y - ny}});
+    }
+    double step_cap = 0.5 * M_PI / std::max(quad_segs, 1);
+    for (int i = 0; i < n; i++) {
+        int prev = (i - 1 + n) % n;
+        if ((closed || (0 < i && i < n - 1)) && prev < last && i < last && ok[prev] && ok[i]) {
+            double t1 = std::atan2(dirs[prev].y, dirs[prev].x);
+            double t2 = std::atan2(dirs[i].y, dirs[i].x);
+            double m = std::fmod(t2 - t1 + M_PI, 2.0 * M_PI);
+            if (m < 0.0) m += 2.0 * M_PI;  // Python % semantics
+            double turn = m - M_PI;
+            double span = std::fabs(turn);
+            if (span < 1e-9) continue;
+            // The uncovered arc sits opposite the turn (see buffer.py).
+            double a_start = (turn < 0.0) ? (t2 + 0.5 * M_PI) : (t1 - 0.5 * M_PI);
+            int steps = std::max((int)std::ceil(span / step_cap), 1);
+            std::vector<Pt> ring;
+            ring.reserve(steps + 2);
+            ring.push_back(pts[i]);
+            for (int k = 0; k <= steps; k++) {
+                double a = a_start + span * (double)k / steps;
+                ring.push_back(Pt{pts[i].x + r * std::cos(a), pts[i].y + r * std::sin(a)});
+            }
+            out.add_ccw(std::move(ring));
+            continue;
+        }
+        add_disc(pts[i], r, quad_segs, out);
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -576,6 +688,60 @@ double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t
     return out;
 }
 
+// Minkowski buffer: piece generation + overlay + ring linking in one call.
+// mode 0: polygon dilation — input rings (canonically oriented: shells CCW,
+//   holes CW) enter the winding union together with per-ring quads/wedges.
+// mode 1: open-path dilation — each input "ring" is an open path.
+// mode 2: polygon erosion — input rings (any orientation, even-odd base)
+//   minus the winding union of their boundary halo pieces (op 5).
+// Returns linked rings like rs_overlay_rings; writes the snap quantum used
+// through out_q (for the caller's collinear-simplification tolerance).
+double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t n_rings,
+                        double radius, int32_t quad_segs, int32_t mode,
+                        int32_t** out_lens, int64_t* out_n_rings, double* out_q) {
+    RingSink pieces;
+    int64_t off = 0;
+    for (int ri = 0; ri < n_rings; ri++) {
+        int len = ring_lens[ri];
+        if (len > 0) {
+            std::vector<Pt> pts(len);
+            for (int i = 0; i < len; i++) pts[i] = Pt{coords[2 * (off + i)], coords[2 * (off + i) + 1]};
+            path_pieces(pts.data(), len, mode != 1, radius, quad_segs, pieces);
+        }
+        off += len;
+    }
+
+    Overlay r;
+    if (mode == 2) {
+        r = run_overlay(coords, ring_lens, n_rings, pieces.coords.data(), pieces.lens.data(),
+                        (int)pieces.lens.size(), 5, true);
+    } else {
+        if (mode == 0) {
+            // The dilation must also cover the polygon interiors themselves.
+            RingSink all;
+            all.coords = pieces.coords;
+            all.lens = pieces.lens;
+            int64_t o2 = 0;
+            for (int ri = 0; ri < n_rings; ri++) {
+                all.add_raw(coords + 2 * o2, ring_lens[ri]);
+                o2 += ring_lens[ri];
+            }
+            pieces = std::move(all);
+        }
+        r = run_overlay(pieces.coords.data(), pieces.lens.data(), (int)pieces.lens.size(),
+                        nullptr, nullptr, 0, 4, true);
+    }
+    *out_q = r.q;
+    LinkedRings linked = link_rings(r.edges, r.q);
+    *out_n_rings = (int64_t)linked.lens.size();
+    *out_lens = (int32_t*)std::malloc(std::max(linked.lens.size(), (size_t)1) * sizeof(int32_t));
+    if (*out_lens) std::copy(linked.lens.begin(), linked.lens.end(), *out_lens);
+    double* out = (double*)std::malloc(std::max(linked.coords.size(), (size_t)1) * sizeof(double));
+    if (out) std::copy(linked.coords.begin(), linked.coords.end(), out);
+    return out;
+}
+
 void rs_free(void* p) { std::free(p); }
+
 
 }  // extern "C"

@@ -56,3 +56,63 @@ def test_clip_routes_through_native(lib, monkeypatch):
     b = _star(8, 5.5, 5.0)
     u = clip.union(a, b)
     assert u.area == pytest.approx(clip.overlay_area(a, b, "union"), rel=1e-9)
+
+
+def _python_buffer(geom, distance, quad_segs=8):
+    """Force the pure-Python pieces path (the oracle) for buffer_geometry."""
+    from robosat_tpu.geo import buffer as buffer_mod
+
+    orig = buffer_mod._native_buffer
+    buffer_mod._native_buffer = lambda *a, **k: None
+    try:
+        return buffer_mod.buffer_geometry(geom, distance, quad_segs)
+    finally:
+        buffer_mod._native_buffer = orig
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("distance", [0.6, -0.6])
+def test_native_buffer_matches_python_oracle(lib, seed, distance):
+    """rs_buffer_rings (piece generation + overlay + linking in C++) agrees
+    with the Python pieces path on area and symmetric difference."""
+    from robosat_tpu.geo.buffer import buffer_geometry
+
+    geom = _star(seed, 4.5, 5.0)
+    ours = buffer_geometry(geom, distance)
+    oracle = _python_buffer(geom, distance)
+
+    a_ours = sum(p.area for p in ours.geoms)
+    a_oracle = sum(p.area for p in oracle.geoms)
+    assert a_ours == pytest.approx(a_oracle, rel=1e-6, abs=1e-9)
+    if a_oracle > 0:
+        sym = clip.boolean_op(ours, oracle, "xor")
+        assert sum(p.area for p in sym.geoms) <= 1e-6 * a_oracle
+
+
+def test_native_buffer_line_matches_python_oracle(lib):
+    from robosat_tpu.geo.buffer import buffer_geometry
+    from robosat_tpu.geo.geometry import LineString
+
+    line = LineString(np.array([[0.0, 0.0], [4.0, 0.5], [6.0, 3.0]]))
+    ours = buffer_geometry(line, 0.8)
+    oracle = _python_buffer(line, 0.8)
+    a_ours = sum(p.area for p in ours.geoms)
+    a_oracle = sum(p.area for p in oracle.geoms)
+    assert a_ours == pytest.approx(a_oracle, rel=1e-6)
+
+
+def test_native_buffer_polygon_with_hole(lib):
+    """Dilation must fill from both sides of a hole; erosion must widen it
+    (native vs oracle)."""
+    from robosat_tpu.geo.buffer import buffer_geometry
+    from robosat_tpu.geo.geometry import Polygon as Poly
+
+    shell = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    hole = np.array([[4.0, 4.0], [4.0, 6.0], [6.0, 6.0], [6.0, 4.0]])  # CW
+    geom = Poly(shell, [hole])
+    for distance in (0.5, -0.5):
+        ours = buffer_geometry(geom, distance)
+        oracle = _python_buffer(geom, distance)
+        a_ours = sum(p.area for p in ours.geoms)
+        a_oracle = sum(p.area for p in oracle.geoms)
+        assert a_ours == pytest.approx(a_oracle, rel=1e-6), distance
