@@ -33,7 +33,7 @@ def _native_buffer(rings, distance, quad_segs, mode):
     if native.load() is None:
         return None
     out_rings, q = native.buffer_rings(rings, distance, quad_segs, mode)
-    return clip._assemble_polygons(out_rings, q)
+    return clip._assemble_polygons(out_rings, q, presimplified=True)
 
 
 _UNIT_DISCS = {}

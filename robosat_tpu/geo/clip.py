@@ -336,6 +336,27 @@ def _sweep(segs, q, op, want_geometry):
     edges = [] if want_geometry else None  # directed, interior on left
     vertical = defaultdict(list) if want_geometry else None  # x -> (ylo, yhi, sign)
 
+    # Boundary-run coalescing (mirrors native/geometry.cpp): a boundary that
+    # rides the same span across consecutive slabs with contiguous snapped
+    # endpoints emits ONE edge for the whole run. Coverage nets per slab
+    # BEFORE emission (a span covered on both sides emits nothing), so runs
+    # on the two sides of an interior span can never partially overlap.
+    open_bottom = {}  # span -> [x0, y0, x1, y1] (L->R frame)
+    open_top = {}
+
+    def flush_run(open_runs, key, nx0, ny0, nx1, ny1, top):
+        run = open_runs.get(key)
+        if run is not None:
+            if run[2] == nx0 and run[3] == ny0:  # contiguous: extend
+                run[2] = nx1
+                run[3] = ny1
+                return
+            if top:
+                edges.append(((run[2], run[3]), (run[0], run[1])))
+            else:
+                edges.append(((run[0], run[1]), (run[2], run[3])))
+        open_runs[key] = [nx0, ny0, nx1, ny1]
+
     ptr = 0
     current = []
     for k in range(len(xs) - 1):
@@ -350,20 +371,22 @@ def _sweep(segs, q, op, want_geometry):
 
         xm = 0.5 * (x0 + x1)
         active = []
-        for lo, hi, pa, pb in current:
+        for span in current:
+            lo, hi, pa, pb = span
             dx = hi[0] - lo[0]
             dy = hi[1] - lo[1]
             ym = lo[1] + (xm - lo[0]) / dx * dy
             y0 = lo[1] + (x0 - lo[0]) / dx * dy
             y1 = lo[1] + (x1 - lo[0]) / dx * dy
-            active.append((ym, y0, y1, pa, pb))
+            active.append((ym, y0, y1, pa, pb, span))
         if not active:
             continue
         active.sort(key=lambda e: e[0])
 
         in_a = in_b = 0
+        covered_gap = [False] * len(active)
         for idx in range(len(active) - 1):
-            ym, y0, y1, pa, pb = active[idx]
+            ym, y0, y1, pa, pb, _ = active[idx]
             if winding:
                 in_a += pa
                 covered = in_a > 0
@@ -376,7 +399,8 @@ def _sweep(segs, q, op, want_geometry):
                 in_b ^= pb
                 covered = pred(in_a, in_b)
             if covered:
-                nym, ny0, ny1, _, _ = active[idx + 1]
+                covered_gap[idx] = True
+                nym, ny0, ny1 = active[idx + 1][:3]
                 total_area += (x1 - x0) * (nym - ym)
                 if want_geometry:
                     # Snap trapezoid corner ys so edges cancel across slabs.
@@ -384,18 +408,32 @@ def _sweep(segs, q, op, want_geometry):
                     by1 = round(y1 / q) * q
                     ty0 = round(ny0 / q) * q
                     ty1 = round(ny1 / q) * q
-                    # Bottom: left->right (interior above/left).
-                    edges.append(((x0, by0), (x1, by1)))
-                    # Top: right->left.
-                    edges.append((((x1, ty1)), (x0, ty0)))
                     # Right side: upward at x1; left side: downward at x0.
                     if ty1 > by1:
                         vertical[x1].append((by1, ty1, +1))
                     if ty0 > by0:
                         vertical[x0].append((by0, ty0, -1))
+        if want_geometry:
+            for idx in range(len(active)):
+                above = covered_gap[idx]
+                below = idx > 0 and covered_gap[idx - 1]
+                if above == below:
+                    continue
+                ym, y0, y1, pa, pb, span = active[idx]
+                sy0 = round(y0 / q) * q
+                sy1 = round(y1 / q) * q
+                if above:  # bottom boundary: left->right (interior above)
+                    flush_run(open_bottom, span, x0, sy0, x1, sy1, False)
+                else:  # top boundary: right->left
+                    flush_run(open_top, span, x0, sy0, x1, sy1, True)
 
     if not want_geometry:
         return total_area, None
+
+    for run in open_bottom.values():
+        edges.append(((run[0], run[1]), (run[2], run[3])))
+    for run in open_top.values():
+        edges.append(((run[2], run[3]), (run[0], run[1])))
 
     # Cancel opposite horizontal-ish edges.
     net = defaultdict(int)
@@ -563,12 +601,16 @@ def _simplify_collinear(ring, q):
     return kept if len(kept) >= 3 else []
 
 
-def _assemble_polygons(rings, q):
-    """Group CCW shells with their CW holes into polygons."""
+def _assemble_polygons(rings, q, presimplified=False):
+    """Group CCW shells with their CW holes into polygons.
+
+    `presimplified` skips the collinear pass for rings the native engine
+    already simplified (same tolerance; re-running it is pure overhead)."""
     shells = []
     holes = []
     for ring in rings:
-        ring = _simplify_collinear(ring, q)
+        if not presimplified:
+            ring = _simplify_collinear(ring, q)
         if len(ring) < 3:
             continue
         arr = np.asarray(ring, dtype=np.float64)
@@ -604,7 +646,7 @@ def boolean_op(geom_a, geom_b, op):
     if lib is not None:
         from robosat_tpu import native
 
-        return _assemble_polygons(native.overlay_rings(rings_a, rings_b, op), q)
+        return _assemble_polygons(native.overlay_rings(rings_a, rings_b, op), q, presimplified=True)
     _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
     return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 
@@ -664,7 +706,7 @@ def union_all(geoms):
     if lib is not None:
         from robosat_tpu import native
 
-        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), q)
+        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), q, presimplified=True)
     _, directed = _overlay_union(rings, want_geometry=True)
     return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 
@@ -686,7 +728,7 @@ def erode(geom, halo_pieces):
     if lib is not None:
         from robosat_tpu import native
 
-        return _assemble_polygons(native.overlay_rings(base_rings, halo_rings, "erode"), q)
+        return _assemble_polygons(native.overlay_rings(base_rings, halo_rings, "erode"), q, presimplified=True)
     _, directed = _overlay_erode(base_rings, halo_rings, want_geometry=True)
     return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 

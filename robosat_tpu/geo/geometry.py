@@ -475,10 +475,16 @@ def geometries_intersect(a, b):
     a_polys = a.geoms if isinstance(a, MultiPolygon) else [a]
     b_polys = b.geoms if isinstance(b, MultiPolygon) else [b]
 
+    native_pred = _native_polys_intersect()
+
     for pa in a_polys:
         pa_edges = None
         for pb in b_polys:
             if not bounds_intersect(pa.bounds, pb.bounds):
+                continue
+            if native_pred is not None:
+                if native_pred(pa, pb):
+                    return True
                 continue
             # Containment (either direction).
             if pb.contains_point(tuple(pa.shell[0])) or pa.contains_point(tuple(pb.shell[0])):
@@ -490,6 +496,19 @@ def geometries_intersect(a, b):
             if _edges_cross(pa_edges, _polygon_edges(pb)):
                 return True
     return False
+
+
+def _native_polys_intersect():
+    """The C++ polygon-pair predicate (native/geometry.cpp
+    rs_polys_intersect, same containment + closed-segment semantics as the
+    Python path below it), or None when the native engine is unavailable."""
+    try:
+        from robosat_tpu import native
+    except Exception:  # pragma: no cover - import cycle safety
+        return None
+    if native.load() is None:
+        return None
+    return native.polys_intersect
 
 
 def representative_point(ring):

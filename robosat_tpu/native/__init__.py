@@ -59,6 +59,11 @@ def load():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.rs_polys_intersect.restype = ctypes.c_int32
+        lib.rs_polys_intersect.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
         lib.rs_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as exc:  # fall back to pure Python
@@ -142,6 +147,16 @@ def buffer_rings(rings, radius, quad_segs, mode):
         out.append(coords[off : off + int(n)])
         off += int(n)
     return out, q.value
+
+
+def polys_intersect(pa, pb):
+    """Native polygon-pair share-any-point predicate (containment either way
+    or closed-segment boundary crossing; mirrors geometries_intersect)."""
+    lib = load()
+    assert lib is not None
+    ca, la, na, keep_a = _pack(list(pa.rings))  # noqa: F841
+    cb, lb, nb, keep_b = _pack(list(pb.rings))  # noqa: F841
+    return bool(lib.rs_polys_intersect(ca, la, na, cb, lb, nb))
 
 
 def overlay_rings(rings_a, rings_b, op):

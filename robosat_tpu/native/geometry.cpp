@@ -289,9 +289,43 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
 
     // Slab sweep with an active list: spans sorted by entry x are admitted
     // once and compacted out once their right end falls behind the slab.
-    struct Active { double ym, y0, y1; int pa, pb; };
+    struct Active { double ym, y0, y1; int pa, pb; const Span* src; };
     std::vector<Active> active;
+    std::vector<char> covered_gap;
     std::map<double, std::vector<std::array<double, 3>>> vertical;  // x -> (ylo,yhi,sign)
+
+    // Boundary-run coalescing: a covered gap whose bottom (or top) rides the
+    // SAME span across consecutive slabs with contiguous snapped endpoints
+    // emits ONE edge for the whole run instead of one per slab. Runs break
+    // exactly where the trapezoid structure changes — which is also where
+    // the netted vertical boundary pieces attach — so the welded topology is
+    // preserved while the edge soup shrinks by the average slab count per
+    // boundary span (~20x on city-scale merges; see docs/PERF.md round 3).
+    struct Run { double x0, y0, x1, y1; };
+    std::unordered_map<const Span*, Run> open_bottom, open_top;
+    auto flush_run = [&](std::unordered_map<const Span*, Run>& open, const Span* key, double nx0,
+                         double ny0, double nx1, double ny1, bool top) {
+        auto it = open.find(key);
+        if (it != open.end()) {
+            Run& r = it->second;
+            if (r.x1 == nx0 && r.y1 == ny0) {  // contiguous: extend
+                r.x1 = nx1;
+                r.y1 = ny1;
+                return;
+            }
+            if (top) result.edges.insert(result.edges.end(), {r.x1, r.y1, r.x0, r.y0});
+            else result.edges.insert(result.edges.end(), {r.x0, r.y0, r.x1, r.y1});
+        }
+        open[key] = Run{nx0, ny0, nx1, ny1};
+    };
+    auto flush_all = [&]() {
+        for (const auto& [key, r] : open_bottom)
+            result.edges.insert(result.edges.end(), {r.x0, r.y0, r.x1, r.y1});
+        for (const auto& [key, r] : open_top)
+            result.edges.insert(result.edges.end(), {r.x1, r.y1, r.x0, r.y0});
+        open_bottom.clear();
+        open_top.clear();
+    };
 
     std::sort(spans.begin(), spans.end(), [](const Span& a, const Span& b) { return a.lo.x < b.lo.x; });
     size_t ptr = 0;
@@ -318,6 +352,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             a.y1 = s.lo.y + (x1 - s.lo.x) / dx * dy;
             a.pa = s.pa;
             a.pb = s.pb;
+            a.src = sp_ptr;
             active.push_back(a);
         }
         if (active.empty()) continue;
@@ -325,6 +360,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
 
         bool in_a = false, in_b = false;
         int wind = 0;
+        covered_gap.assign(active.size(), 0);  // covered_gap[i]: gap above active[i]
         for (size_t idx = 0; idx + 1 < active.size(); idx++) {
             const Active& cur = active[idx];
             bool covered;
@@ -341,20 +377,36 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 covered = pred(op, in_a, in_b);
             }
             if (!covered) continue;
+            covered_gap[idx] = 1;
             const Active& nxt = active[idx + 1];
             result.area += (x1 - x0) * (nxt.ym - cur.ym);
             if (want_edges) {
-                double by0 = snap(cur.y0, q), by1 = snap(cur.y1, q);
+                double by1 = snap(cur.y1, q);
                 double ty0 = snap(nxt.y0, q), ty1 = snap(nxt.y1, q);
-                result.edges.insert(result.edges.end(), {x0, by0, x1, by1});      // bottom, L->R
-                result.edges.insert(result.edges.end(), {x1, ty1, x0, ty0});      // top, R->L
+                double by0 = snap(cur.y0, q);
                 if (ty1 > by1) vertical[x1].push_back({by1, ty1, +1.0});
                 if (ty0 > by0) vertical[x0].push_back({by0, ty0, -1.0});
+            }
+        }
+        if (want_edges) {
+            // Directed boundary edges where coverage CHANGES across a span
+            // (interior spans — covered on both sides — cancel here rather
+            // than in the later net pass, so coalesced runs on the two
+            // sides can never partially overlap).
+            for (size_t idx = 0; idx < active.size(); idx++) {
+                bool above = covered_gap[idx];
+                bool below = idx > 0 && covered_gap[idx - 1];
+                if (above == below) continue;
+                const Active& a = active[idx];
+                double y0 = snap(a.y0, q), y1 = snap(a.y1, q);
+                if (above) flush_run(open_bottom, a.src, x0, y0, x1, y1, false);  // L->R
+                else flush_run(open_top, a.src, x0, y0, x1, y1, true);            // R->L
             }
         }
     }
 
     if (!want_edges) return result;
+    flush_all();
 
     // Cancel opposite horizontal-ish edges.
     std::unordered_map<std::pair<Pt, Pt>, int, KeyHash, KeyEq> net;
@@ -442,91 +494,154 @@ std::vector<Pt> simplify_collinear(const std::vector<Pt>& ring, double q) {
 }
 
 LinkedRings link_rings(const std::vector<double>& edge_soup, double q) {
+    // Integer-grid weld + link. Every input coordinate is snap-rounded to a
+    // multiple of q by the overlay, so endpoints convert EXACTLY to int64
+    // grid indices k = llround(v / q); the weld tolerance 1.5q then becomes
+    // "L-inf grid distance <= 1", and the whole weld runs as 9-neighbor
+    // lookups in one flat integer hash map — measured ~4x faster than the
+    // former double-keyed bucket grid, which dominated large erodes
+    // (gprof: 60% of rs merge's erode calls in CellKey/Pt hashing).
     LinkedRings out;
-    double tol = 1.5 * q;
-    if (tol <= 0.0) return out;
+    if (q <= 0.0) return out;
 
-    // Weld endpoints within ~tol to one representative (greedy grid hash).
-    std::unordered_map<CellKey, std::vector<Pt>, CellHash> buckets;
-    std::unordered_map<Pt, Pt, PtHash> reps;
-    auto rep_for = [&](const Pt& v) -> Pt {
-        auto it = reps.find(v);
-        if (it != reps.end()) return it->second;
-        long long kx = (long long)std::llround(v.x / tol);
-        long long ky = (long long)std::llround(v.y / tol);
+    struct IKey {
+        long long x, y;
+        bool operator==(const IKey& o) const { return x == o.x && y == o.y; }
+    };
+    struct IKeyHash {
+        size_t operator()(const IKey& k) const {
+            uint64_t h = (uint64_t)k.x * 0x9E3779B97F4A7C15ull;
+            h ^= (uint64_t)k.y + 0x9E3779B97F4A7C15ull + (h << 6) + (h >> 2);
+            h ^= h >> 29; h *= 0xBF58476D1CE4E5B9ull; h ^= h >> 32;
+            return (size_t)h;
+        }
+    };
+
+    // Flat open-addressing map (linear probing) for the weld grid: the
+    // 9-neighbor candidate scan is mostly FAILED lookups, which cost ~2
+    // contiguous probes here vs a bucket-chain walk in unordered_map.
+    struct FlatCells {
+        struct Slot { long long x, y; IKey rep; };
+        std::vector<Slot> slots;
+        size_t mask = 0, count = 0;
+        static uint64_t mix(long long x, long long y) {
+            uint64_t h = (uint64_t)x * 0x9E3779B97F4A7C15ull;
+            h ^= (uint64_t)y + 0x9E3779B97F4A7C15ull + (h << 6) + (h >> 2);
+            h ^= h >> 29; h *= 0xBF58476D1CE4E5B9ull; h ^= h >> 32;
+            return h;
+        }
+        void init(size_t expect) {
+            size_t cap = 16;
+            while (cap < expect * 2) cap <<= 1;
+            slots.assign(cap, Slot{INT64_MIN, INT64_MIN, IKey{0, 0}});
+            mask = cap - 1;
+            count = 0;
+        }
+        IKey* find(long long x, long long y) {
+            size_t i = mix(x, y) & mask;
+            while (slots[i].x != INT64_MIN) {
+                if (slots[i].x == x && slots[i].y == y) return &slots[i].rep;
+                i = (i + 1) & mask;
+            }
+            return nullptr;
+        }
+        void insert(long long x, long long y, IKey rep) {
+            if ((count + 1) * 10 >= slots.size() * 7) {  // grow at 0.7 load
+                std::vector<Slot> old = std::move(slots);
+                init(old.size());
+                count = 0;
+                for (const Slot& s : old)
+                    if (s.x != INT64_MIN) insert(s.x, s.y, s.rep);
+            }
+            size_t i = mix(x, y) & mask;
+            while (slots[i].x != INT64_MIN) {
+                if (slots[i].x == x && slots[i].y == y) { slots[i].rep = rep; return; }
+                i = (i + 1) & mask;
+            }
+            slots[i] = Slot{x, y, rep};
+            count++;
+        }
+    };
+    FlatCells claimed;
+    claimed.init(edge_soup.size() / 2 + 16);
+    auto rep_for = [&](long long kx, long long ky) -> IKey {
+        if (IKey* hit = claimed.find(kx, ky)) return *hit;
         for (long long dx = -1; dx <= 1; dx++) {
             for (long long dy = -1; dy <= 1; dy++) {
-                auto b = buckets.find(CellKey{kx + dx, ky + dy});
-                if (b == buckets.end()) continue;
-                for (const Pt& u : b->second) {
-                    if (std::fabs(u.x - v.x) <= tol && std::fabs(u.y - v.y) <= tol) {
-                        Pt r = reps[u];
-                        reps[v] = r;
-                        buckets[CellKey{kx, ky}].push_back(v);
-                        return r;
-                    }
+                if (dx == 0 && dy == 0) continue;
+                if (IKey* n = claimed.find(kx + dx, ky + dy)) {
+                    IKey rep = *n;
+                    claimed.insert(kx, ky, rep);
+                    return rep;
                 }
             }
         }
-        reps[v] = v;
-        buckets[CellKey{kx, ky}].push_back(v);
-        return v;
+        claimed.insert(kx, ky, IKey{kx, ky});
+        return IKey{kx, ky};
     };
 
-    struct KeyHash2 {
-        size_t operator()(const std::pair<Pt, Pt>& k) const {
-            PtHash h;
-            return h(k.first) * 31 ^ h(k.second);
+    struct EdgeKey {
+        IKey a, b;
+        bool operator==(const EdgeKey& o) const { return a == o.a && b == o.b; }
+    };
+    struct EdgeKeyHash {
+        size_t operator()(const EdgeKey& k) const {
+            IKeyHash h;
+            return h(k.a) * 31 ^ h(k.b);
         }
     };
-    struct KeyEq2 {
-        bool operator()(const std::pair<Pt, Pt>& a, const std::pair<Pt, Pt>& b) const {
-            return a.first == b.first && a.second == b.second;
-        }
+    auto iless = [](const IKey& a, const IKey& b) {
+        return a.x < b.x || (a.x == b.x && a.y < b.y);
     };
-    std::unordered_map<std::pair<Pt, Pt>, int, KeyHash2, KeyEq2> net;
+
+    std::unordered_map<EdgeKey, int, EdgeKeyHash> net;
+    net.reserve(edge_soup.size() / 4);
     for (size_t i = 0; i + 3 < edge_soup.size(); i += 4) {
-        Pt r1 = rep_for(Pt{edge_soup[i], edge_soup[i + 1]});
-        Pt r2 = rep_for(Pt{edge_soup[i + 2], edge_soup[i + 3]});
+        IKey r1 = rep_for((long long)std::llround(edge_soup[i] / q), (long long)std::llround(edge_soup[i + 1] / q));
+        IKey r2 = rep_for((long long)std::llround(edge_soup[i + 2] / q), (long long)std::llround(edge_soup[i + 3] / q));
         if (r1 == r2) continue;
-        if (r1 < r2) net[{r1, r2}] += 1;
-        else net[{r2, r1}] -= 1;
+        if (iless(r1, r2)) net[EdgeKey{r1, r2}] += 1;
+        else net[EdgeKey{r2, r1}] -= 1;
     }
-    std::vector<std::pair<Pt, Pt>> directed;
+    std::vector<std::pair<IKey, IKey>> directed;
+    directed.reserve(net.size());
     for (const auto& [key, count] : net) {
         for (int c = 0; c < std::abs(count); c++) {
-            if (count > 0) directed.push_back({key.first, key.second});
-            else directed.push_back({key.second, key.first});
+            if (count > 0) directed.push_back({key.a, key.b});
+            else directed.push_back({key.b, key.a});
         }
     }
 
     // Link into rings: follow the sharpest-left-turn (min CCW angle) rule at
     // every junction (port of _link_rings).
-    std::unordered_map<Pt, std::vector<size_t>, PtHash> out_edges;
+    std::unordered_map<IKey, std::vector<size_t>, IKeyHash> out_edges;
+    out_edges.reserve(directed.size());
     for (size_t i = 0; i < directed.size(); i++) out_edges[directed[i].first].push_back(i);
     std::vector<char> used(directed.size(), 0);
 
     for (size_t start = 0; start < directed.size(); start++) {
         if (used[start]) continue;
-        std::vector<Pt> ring;
+        std::vector<IKey> iring;
         size_t edge = start;
         bool closed = false;
         for (size_t step = 0; step <= directed.size(); step++) {
             used[edge] = 1;
-            ring.push_back(directed[edge].first);
-            Pt v = directed[edge].second;
+            iring.push_back(directed[edge].first);
+            IKey v = directed[edge].second;
             if (v == directed[start].first) {
                 closed = true;
                 break;
             }
             auto it = out_edges.find(v);
             if (it == out_edges.end()) break;
-            double base = std::atan2(v.y - directed[edge].first.y, v.x - directed[edge].first.x);
+            double base = std::atan2((double)(v.y - directed[edge].first.y),
+                                     (double)(v.x - directed[edge].first.x));
             double best = 1e30;
             size_t best_edge = SIZE_MAX;
             for (size_t cand : it->second) {
                 if (used[cand]) continue;
-                double a = std::atan2(directed[cand].second.y - v.y, directed[cand].second.x - v.x) - base;
+                double a = std::atan2((double)(directed[cand].second.y - v.y),
+                                      (double)(directed[cand].second.x - v.x)) - base;
                 while (a <= 0) a += 2 * M_PI;
                 while (a > 2 * M_PI) a -= 2 * M_PI;
                 if (a < best) {
@@ -537,7 +652,9 @@ LinkedRings link_rings(const std::vector<double>& edge_soup, double q) {
             if (best_edge == SIZE_MAX) break;
             edge = best_edge;
         }
-        if (closed && ring.size() >= 3) {
+        if (closed && iring.size() >= 3) {
+            std::vector<Pt> ring(iring.size());
+            for (size_t i = 0; i < iring.size(); i++) ring[i] = Pt{iring[i].x * q, iring[i].y * q};
             std::vector<Pt> slim = simplify_collinear(ring, q);
             if (slim.size() < 3) continue;
             out.lens.push_back((int32_t)slim.size());
@@ -649,9 +766,123 @@ void path_pieces(const Pt* pts, int n, bool closed, double r, int quad_segs, Rin
     }
 }
 
+// ---------------------------------------------------------------------------
+// Polygon-pair intersection predicate (port of geo/geometry.py's
+// geometries_intersect inner loop: containment either way, else any boundary
+// segments intersecting — closed segments, touching counts). Used by the
+// merge/dedupe graph construction (robosat/tools/merge.py:54-56).
+// ---------------------------------------------------------------------------
+
+bool point_in_ring_c(double x, double y, const double* c, int len) {
+    bool inside = false;
+    for (int i = 0; i < len; i++) {
+        double x1 = c[2 * i], y1 = c[2 * i + 1];
+        int j = (i + 1) % len;
+        double x2 = c[2 * j], y2 = c[2 * j + 1];
+        double d = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1);
+        if (d == 0.0 && std::min(x1, x2) <= x && x <= std::max(x1, x2) &&
+            std::min(y1, y2) <= y && y <= std::max(y1, y2))
+            return true;  // boundary counts as inside
+        if ((y1 > y) != (y2 > y)) {
+            double xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1);
+            if (x < xint) inside = !inside;
+        }
+    }
+    return inside;
+}
+
+bool point_on_ring_boundary_c(double x, double y, const double* c, int len) {
+    for (int i = 0; i < len; i++) {
+        double x1 = c[2 * i], y1 = c[2 * i + 1];
+        int j = (i + 1) % len;
+        double x2 = c[2 * j], y2 = c[2 * j + 1];
+        double d = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1);
+        if (d == 0.0 && std::min(x1, x2) <= x && x <= std::max(x1, x2) &&
+            std::min(y1, y2) <= y && y <= std::max(y1, y2))
+            return true;
+    }
+    return false;
+}
+
+// Polygon (shell + holes) contains point: in shell, not strictly in a hole.
+bool poly_contains_point_c(double x, double y, const double* coords, const int32_t* lens, int n_rings) {
+    if (n_rings <= 0 || !point_in_ring_c(x, y, coords, lens[0])) return false;
+    int64_t off = lens[0];
+    for (int r = 1; r < n_rings; r++) {
+        if (point_in_ring_c(x, y, coords + 2 * off, lens[r]) &&
+            !point_on_ring_boundary_c(x, y, coords + 2 * off, lens[r]))
+            return false;
+        off += lens[r];
+    }
+    return true;
+}
+
+bool segs_intersect_c(double ax1, double ay1, double ax2, double ay2,
+                      double bx1, double by1, double bx2, double by2) {
+    double d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1);
+    double d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1);
+    double d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1);
+    double d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1);
+    if (((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0)) &&
+        d1 != 0 && d2 != 0 && d3 != 0 && d4 != 0)
+        return true;
+    auto on_b = [&](double x, double y) {
+        return std::min(bx1, bx2) <= x && x <= std::max(bx1, bx2) &&
+               std::min(by1, by2) <= y && y <= std::max(by1, by2);
+    };
+    auto on_a = [&](double x, double y) {
+        return std::min(ax1, ax2) <= x && x <= std::max(ax1, ax2) &&
+               std::min(ay1, ay2) <= y && y <= std::max(ay1, ay2);
+    };
+    return (d1 == 0 && on_b(ax1, ay1)) || (d2 == 0 && on_b(ax2, ay2)) ||
+           (d3 == 0 && on_a(bx1, by1)) || (d4 == 0 && on_a(bx2, by2));
+}
+
 }  // namespace
 
 extern "C" {
+
+// 1 if polygon A (shell + holes) and polygon B share any point, else 0.
+int32_t rs_polys_intersect(const double* ca, const int32_t* la, int32_t na,
+                           const double* cb, const int32_t* lb, int32_t nb) {
+    if (na <= 0 || nb <= 0 || la[0] < 3 || lb[0] < 3) return 0;
+    // Containment (either direction) via the first shell vertices.
+    if (poly_contains_point_c(ca[0], ca[1], cb, lb, nb)) return 1;
+    if (poly_contains_point_c(cb[0], cb[1], ca, la, na)) return 1;
+    // Boundary crossing: all ring-segment pairs with per-segment bbox cull.
+    int64_t offa = 0;
+    for (int ra = 0; ra < na; ra++) {
+        int lena = la[ra];
+        const double* A = ca + 2 * offa;
+        offa += lena;
+        if (lena < 2) continue;
+        int64_t offb = 0;
+        for (int rb = 0; rb < nb; rb++) {
+            int lenb = lb[rb];
+            const double* B = cb + 2 * offb;
+            offb += lenb;
+            if (lenb < 2) continue;
+            for (int i = 0; i < lena; i++) {
+                double ax1 = A[2 * i], ay1 = A[2 * i + 1];
+                int i2 = (i + 1) % lena;
+                double ax2 = A[2 * i2], ay2 = A[2 * i2 + 1];
+                double axlo = std::min(ax1, ax2), axhi = std::max(ax1, ax2);
+                double aylo = std::min(ay1, ay2), ayhi = std::max(ay1, ay2);
+                for (int j = 0; j < lenb; j++) {
+                    double bx1 = B[2 * j], by1 = B[2 * j + 1];
+                    int j2 = (j + 1) % lenb;
+                    double bx2 = B[2 * j2], by2 = B[2 * j2 + 1];
+                    if (std::max(bx1, bx2) < axlo || std::min(bx1, bx2) > axhi ||
+                        std::max(by1, by2) < aylo || std::min(by1, by2) > ayhi)
+                        continue;
+                    if (segs_intersect_c(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)) return 1;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
 
 double rs_overlay_area(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
                        const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,

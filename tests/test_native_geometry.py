@@ -116,3 +116,35 @@ def test_native_buffer_polygon_with_hole(lib):
         a_ours = sum(p.area for p in ours.geoms)
         a_oracle = sum(p.area for p in oracle.geoms)
         assert a_ours == pytest.approx(a_oracle, rel=1e-6), distance
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_native_polys_intersect_matches_python(lib, seed):
+    """rs_polys_intersect agrees with the Python predicate on overlapping,
+    touching, containing, and disjoint polygon pairs."""
+    from robosat_tpu.geo import geometry as G
+
+    rng = np.random.default_rng(seed)
+    cases = []
+    a = _star(seed, 4.5, 5.0)
+    cases.append((a, _star(seed + 100, 5.5, 5.0)))          # overlapping-ish
+    cases.append((a, _star(seed + 100, 50.0, 5.0)))         # disjoint
+    sq = Polygon(np.array([[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0]]))
+    cases.append((sq, a))                                   # containment
+    t1 = Polygon(np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 2.0]]))
+    t2 = Polygon(np.array([[2.0, 0.0], [4.0, 0.0], [3.0, 2.0]]))
+    cases.append((t1, t2))                                  # single-point touch
+    hole = np.array([[8.0, 8.0], [8.0, 12.0], [12.0, 12.0], [12.0, 8.0]])
+    donut = Polygon(np.array([[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0]]), [hole])
+    inner = Polygon(np.array([[9.0, 9.0], [11.0, 9.0], [11.0, 11.0], [9.0, 11.0]]))
+    cases.append((donut, inner))                            # inside the hole: disjoint
+
+    orig = G._native_polys_intersect
+    for pa, pb in cases:
+        got = G.geometries_intersect(pa, pb)
+        G._native_polys_intersect = lambda: None  # force the Python path
+        try:
+            want = G.geometries_intersect(pa, pb)
+        finally:
+            G._native_polys_intersect = orig
+        assert got == want, (pa.shell[:2], pb.shell[:2])
