@@ -39,15 +39,19 @@ def ring_area(ring):
 def ring_is_simple(ring):
     """True if no two non-adjacent edges of the ring properly intersect.
 
-    All-pairs segment test, vectorized over (chunked) numpy broadcasts so
-    city-scale rings stay off the Python bytecode path. Adjacent edges
-    sharing a vertex are allowed; any other contact (crossing, overlap,
-    touch) makes the ring non-simple.
+    Native fast path (geometry.cpp rs_ring_is_simple, same closed-segment
+    semantics); numpy all-pairs fallback below doubles as the oracle.
+    Adjacent edges sharing a vertex are allowed; any other contact
+    (crossing, overlap, touch) makes the ring non-simple.
     """
     n = len(ring)
     if n < 3:
         return False
     pts = np.asarray(ring, dtype=np.float64)
+
+    native_pred = _native_ring_is_simple()
+    if native_pred is not None:
+        return native_pred(pts)
     p1 = pts
     p2 = np.roll(pts, -1, axis=0)
 
@@ -496,6 +500,17 @@ def geometries_intersect(a, b):
             if _edges_cross(pa_edges, _polygon_edges(pb)):
                 return True
     return False
+
+
+def _native_ring_is_simple():
+    """The C++ ring-simplicity predicate, or None when unavailable."""
+    try:
+        from robosat_tpu import native
+    except Exception:  # pragma: no cover - import cycle safety
+        return None
+    if native.load() is None:
+        return None
+    return native.ring_is_simple
 
 
 def _native_polys_intersect():

@@ -59,6 +59,8 @@ def load():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.rs_ring_is_simple.restype = ctypes.c_int32
+        lib.rs_ring_is_simple.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int32]
         lib.rs_polys_intersect.restype = ctypes.c_int32
         lib.rs_polys_intersect.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
@@ -147,6 +149,14 @@ def buffer_rings(rings, radius, quad_segs, mode):
         out.append(coords[off : off + int(n)])
         off += int(n)
     return out, q.value
+
+
+def ring_is_simple(pts):
+    """Native ring-simplicity predicate over an (N, 2) float64 ring."""
+    lib = load()
+    assert lib is not None
+    pts = np.ascontiguousarray(pts, np.float64)
+    return bool(lib.rs_ring_is_simple(pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(pts)))
 
 
 def polys_intersect(pa, pb):

@@ -842,6 +842,58 @@ bool segs_intersect_c(double ax1, double ay1, double ax2, double ay2,
 
 extern "C" {
 
+// 1 if the ring (len vertices, closing edge implied) is simple: no
+// degenerate edges, no collinear overlap between adjacent edges, and no
+// contact between non-adjacent edges (closed segments — touching counts as
+// contact). Port of geo/geometry.py ring_is_simple.
+int32_t rs_ring_is_simple(const double* c, int32_t len) {
+    if (len < 3) return 0;
+    for (int i = 0; i < len; i++) {
+        int j = (i + 1) % len;
+        if (c[2 * i] == c[2 * j] && c[2 * i + 1] == c[2 * j + 1]) return 0;  // zero-length edge
+    }
+    // Adjacent edges: shared endpoint allowed, collinear overlap is not.
+    for (int i = 0; i < len; i++) {
+        int j = (i + 1) % len;
+        int k = (i + 2) % len;
+        double px = c[2 * i], py = c[2 * i + 1];
+        double qx = c[2 * j], qy = c[2 * j + 1];
+        double rx = c[2 * k], ry = c[2 * k + 1];
+        // Collinear test of edge (p, q) against edge (q, r): both of r's
+        // endpoints on line (p, q) — q is by construction, so only r needs
+        // checking.
+        double g1 = (qx - px) * (ry - py) - (qy - py) * (rx - px);
+        if (g1 == 0.0) {
+            // Collinear: overlap length along the dominant axis.
+            bool use_x = std::fabs(qx - px) >= std::fabs(qy - py);
+            double pa = use_x ? px : py, pb = use_x ? qx : qy;
+            double qa = use_x ? qx : qy, qb = use_x ? rx : ry;
+            double overlap = std::min(std::max(pa, pb), std::max(qa, qb)) -
+                             std::max(std::min(pa, pb), std::min(qa, qb));
+            if (overlap > 0.0) return 0;
+        }
+    }
+    // Non-adjacent pairs with a per-edge bbox cull.
+    for (int i = 0; i < len; i++) {
+        int i2 = (i + 1) % len;
+        double ax1 = c[2 * i], ay1 = c[2 * i + 1];
+        double ax2 = c[2 * i2], ay2 = c[2 * i2 + 1];
+        double axlo = std::min(ax1, ax2), axhi = std::max(ax1, ax2);
+        double aylo = std::min(ay1, ay2), ayhi = std::max(ay1, ay2);
+        for (int j = i + 2; j < len; j++) {
+            if (i == 0 && j == len - 1) continue;  // adjacent via the closing edge
+            int j2 = (j + 1) % len;
+            double bx1 = c[2 * j], by1 = c[2 * j + 1];
+            double bx2 = c[2 * j2], by2 = c[2 * j2 + 1];
+            if (std::max(bx1, bx2) < axlo || std::min(bx1, bx2) > axhi ||
+                std::max(by1, by2) < aylo || std::min(by1, by2) > ayhi)
+                continue;
+            if (segs_intersect_c(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)) return 0;
+        }
+    }
+    return 1;
+}
+
 // 1 if polygon A (shell + holes) and polygon B share any point, else 0.
 int32_t rs_polys_intersect(const double* ca, const int32_t* la, int32_t na,
                            const double* cb, const int32_t* lb, int32_t nb) {

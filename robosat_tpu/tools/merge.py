@@ -38,18 +38,18 @@ def main(args):
     shapes = [shape(feature["geometry"]) for feature in collection["features"]]
     del collection
 
-    def buffered(geom):
-        return project_el_wgs(buffer_geometry(project_wgs_el(geom), args.threshold))
-
-    def unbuffered(geom):
-        return project_el_wgs(buffer_geometry(project_wgs_el(geom), -args.threshold))
+    # Project into EPSG:3395 ONCE and run the whole grow/graph/union/erode
+    # pipeline in meters; World Mercator is separable and monotone per axis,
+    # so bounding boxes and intersection predicates agree with their WGS84
+    # counterparts, and only the final merged outlines project back.
+    shapes_el = [project_wgs_el(geom) for geom in shapes]
 
     graph = UndirectedGraph()
-    idx = make_index(shapes)
+    idx = make_index(shapes_el)
 
     embiggened = []
-    for i, geom in enumerate(tqdm(shapes, desc="Building graph", unit="shapes", ascii=True)):
-        grown = buffered(geom)
+    for i, geom in enumerate(tqdm(shapes_el, desc="Building graph", unit="shapes", ascii=True)):
+        grown = buffer_geometry(geom, args.threshold)
         embiggened.append(grown)
 
         graph.add_edge(i, i)
@@ -57,7 +57,7 @@ def main(args):
             continue
         nearest = [j for j in idx.intersection(grown.bounds) if i != j]
         for t in nearest:
-            if geometries_intersect(grown, shapes[t]):
+            if geometries_intersect(grown, shapes_el[t]):
                 graph.add_edge(i, t)
 
     components = list(graph.components())
@@ -65,7 +65,7 @@ def main(args):
 
     features = []
     for component in tqdm(components, desc="Merging components", unit="component", ascii=True):
-        merged = unbuffered(union([embiggened[v] for v in component]))
+        merged = project_el_wgs(buffer_geometry(union([embiggened[v] for v in component]), -args.threshold))
 
         if not merged.is_valid or merged.is_empty:
             print("Warning: merged feature is not valid, skipping", file=sys.stderr)

@@ -148,3 +148,27 @@ def test_native_polys_intersect_matches_python(lib, seed):
         finally:
             G._native_polys_intersect = orig
         assert got == want, (pa.shell[:2], pb.shell[:2])
+
+
+def test_native_ring_is_simple_matches_python(lib):
+    """rs_ring_is_simple agrees with the numpy oracle on simple, crossing,
+    duplicate-vertex, spike, and collinear-overlap rings."""
+    from robosat_tpu.geo import geometry as G
+
+    cases = [
+        np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]),            # simple
+        np.array([[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0]]),            # bowtie
+        np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 0.0], [1.0, 2.0]]),            # duplicate vertex
+        np.array([[0.0, 0.0], [4.0, 0.0], [2.0, 0.0], [2.0, 3.0]]),            # spike (collinear overlap)
+        np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, -1.0]]),           # edge crossing
+        _star(7, 0.0, 0.0).shell,                                              # random simple star
+    ]
+    orig = G._native_ring_is_simple
+    for ring in cases:
+        got = G.ring_is_simple(ring)
+        G._native_ring_is_simple = lambda: None
+        try:
+            want = G.ring_is_simple(ring)
+        finally:
+            G._native_ring_is_simple = orig
+        assert got == want, ring[:3]
