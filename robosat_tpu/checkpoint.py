@@ -195,3 +195,39 @@ def convert_torch_resnet50(state_dict):
         state["layer{}".format(si + 1)] = stage_s
 
     return params, state
+
+
+def convert_torch_deeplab(state_dict, num_classes=2):
+    """Convert a torch DeepLabv3+ state_dict (the layout of the raw-torch
+    oracle in tests/test_torch_deeplab_parity.py: `resnet.*` torchvision
+    backbone with dilated layer4 + `<name>.0/.1` conv/BN pairs for ASPP and
+    decoder heads) to robosat_tpu.models.deeplab's (params, state)."""
+    sd = {}
+    for key, value in state_dict.items():
+        sd[key[len("module.") :] if key.startswith("module.") else key] = value
+
+    def arr(key):
+        v = sd[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        return v.astype(np.float32)
+
+    enc_sd = {k[len("resnet.") :]: v for k, v in sd.items() if k.startswith("resnet.")}
+    enc_params, enc_state = convert_torch_resnet50(enc_sd)
+    params = {"encoder": enc_params}
+    state = {"encoder": enc_state}
+
+    def cbr(name):
+        p = {
+            "conv": {"w": np.transpose(arr(name + ".0.weight"), (2, 3, 1, 0))},
+            "bn": {"scale": arr(name + ".1.weight"), "bias": arr(name + ".1.bias")},
+        }
+        s = {"bn": {"mean": arr(name + ".1.running_mean"), "var": arr(name + ".1.running_var")}}
+        return p, s
+
+    for name in ("aspp1", "aspp_d0", "aspp_d1", "aspp_d2", "aspp_pool", "aspp_proj", "lowlevel", "dec1", "dec2"):
+        params[name], state[name] = cbr(name)
+    params["final"] = {
+        "w": np.transpose(arr("final.weight"), (2, 3, 1, 0)),
+        "b": arr("final.bias"),
+    }
+    return params, state

@@ -186,3 +186,117 @@ def predict_quantized_folded(folded, x, overlap=0):
     if overlap:
         quantized = quantized[:, overlap:-overlap, overlap:-overlap]
     return quantized
+
+
+# ---------------------------------------------------------------------------
+# Hybrid int8 inference (the U-Net treatment, docs/PERF.md): bf16 stem +
+# pool/low-level/head, int8 bottleneck stacks + ASPP + decoder convs.
+# ---------------------------------------------------------------------------
+
+
+def quantize_folded_int8(folded):
+    """BN-folded DeepLab params -> hybrid int8 tree: backbone bottlenecks,
+    ASPP branches/projection, and decoder convs quantized per-output-channel;
+    stem, ASPP pool branch, low-level projection, and classifier stay float
+    (tiny or narrow — lane-padding erases the int8 win there)."""
+    from robosat_tpu.models import int8 as q8
+
+    enc = folded["encoder"]
+    qenc = {"conv1": dict(enc["conv1"])}
+    from robosat_tpu.models.resnet import RESNET50_STAGES
+
+    for si, (blocks, _) in enumerate(RESNET50_STAGES):
+        name = "layer{}".format(si + 1)
+        stage = []
+        for bi in range(blocks):
+            fb = enc[name][bi]
+            qb = {k: q8._qconv(fb[k]) for k in ("conv1", "conv2", "conv3")}
+            if "down_conv" in fb:
+                qb["down_conv"] = q8._qconv(fb["down_conv"])
+            stage.append(qb)
+        qenc[name] = stage
+
+    q = {"encoder": qenc}
+    for key in ("aspp1", "aspp_proj", "dec1", "dec2"):
+        q[key] = q8._qconv(folded[key])
+    for i, _ in enumerate(ASPP_RATES):
+        q["aspp_d{}".format(i)] = q8._qconv(folded["aspp_d{}".format(i)])
+    for key in ("aspp_pool", "lowlevel", "final"):
+        q[key] = dict(folded[key])
+    return q
+
+
+def _walk_int8(q, x, sites, compute_dtype, float_mode=False, blocked=False):
+    """Shared int8/calibration walk to the pre-classifier 256-ch features.
+
+    Mirrors _decoder_folded exactly; `sites` consumes conv sites positionally
+    (calibration and inference MUST walk in the same order). With `blocked`,
+    x is 4x4 space-to-depth normalized input and the stem runs in its
+    MXU-wide s2d form (robosat_tpu.models.resnet.stem_folded_s2d4)."""
+    from robosat_tpu.models import int8 as q8
+    from robosat_tpu.models.layers import conv_bias_apply, max_pool
+    from robosat_tpu.models.resnet import stem_folded_s2d4
+
+    relu = jax.nn.relu
+
+    def conv(node, xx, stride=1, dilation=1, padding="SAME"):
+        scale = sites.next_scale(xx)
+        if float_mode:
+            return conv_bias_apply(node, xx, stride=stride, dilation=dilation, padding=padding)
+        return q8._int8_conv(
+            node, xx, scale, stride=stride, dilation=dilation, padding=padding, compute_dtype=compute_dtype
+        )
+
+    if blocked:
+        out = stem_folded_s2d4(q["encoder"]["conv1"], x)
+    else:
+        out = relu(conv_bias_apply(q["encoder"]["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
+        out = max_pool(out, window=3, stride=2, padding=1)
+
+    enc1, _, _, enc4 = q8.walk_encoder(q["encoder"], out, conv, dilate_last_stage=True)
+
+    branches = [relu(conv(q["aspp1"], enc4))]
+    for i, rate in enumerate(ASPP_RATES):
+        branches.append(relu(conv(q["aspp_d{}".format(i)], enc4, dilation=rate)))
+    pooled = relu(conv_bias_apply(q["aspp_pool"], jnp.mean(enc4, axis=(1, 2), keepdims=True)))
+    branches.append(jnp.broadcast_to(pooled.astype(branches[0].dtype), branches[0].shape))
+    aspp = relu(conv(q["aspp_proj"], jnp.concatenate(branches, axis=-1)))
+
+    low = relu(conv_bias_apply(q["lowlevel"], enc1))
+    up = _resize_bilinear(aspp, low.shape[1], low.shape[2]).astype(low.dtype)
+    out = relu(conv(q["dec1"], jnp.concatenate([up, low], axis=-1)))
+    return relu(conv(q["dec2"], out))
+
+
+def calibration_amaxes_int8(folded, x, compute_dtype=jnp.float32, blocked=False):
+    """Per-conv-site input amaxes from one float forward (jit with real
+    imagery); indexes sites positionally like predict_quantized_int8."""
+    from robosat_tpu.models import int8 as q8
+
+    sites = q8._Sites(scales=None)
+    _walk_int8(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True, blocked=blocked)
+    return jnp.stack(sites.taps).astype(jnp.float32)
+
+
+def predict_quantized_int8(qtree, scales, x, overlap=0, compute_dtype=jnp.bfloat16, blocked=False):
+    """Hybrid-int8 fused binary prediction (margin-then-resize head, same
+    numerics as predict_quantized_folded on the quantized graph)."""
+    from robosat_tpu.models import int8 as q8
+    from robosat_tpu.ops.head import _digitize_exact
+
+    n = x.shape[0]
+    h, w = (4 * x.shape[1], 4 * x.shape[2]) if blocked else (x.shape[1], x.shape[2])
+    sites = q8._Sites(scales=list(scales))
+    out = _walk_int8(qtree, x, sites, compute_dtype, blocked=blocked)
+    assert sites.idx == len(list(scales)), "conv-site count mismatch with calibration"
+
+    w2 = jnp.asarray(qtree["final"]["w"]).reshape(ASPP_CH, -1)
+    b2 = jnp.asarray(qtree["final"]["b"]).reshape(2)
+    wm = (w2[:, 1] - w2[:, 0]).astype(jnp.float32)
+    bm = (b2[1] - b2[0]).astype(jnp.float32)
+    margin = jnp.sum(out.astype(jnp.float32) * wm, axis=-1, keepdims=True) + bm
+    margin = _resize_bilinear(margin, h, w)[..., 0]
+    quantized = _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
+    if overlap:
+        quantized = quantized[:, overlap:-overlap, overlap:-overlap]
+    return quantized

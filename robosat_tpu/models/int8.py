@@ -117,7 +117,7 @@ def _quantize_act(x, scale):
     return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
 
 
-def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, compute_dtype=jnp.bfloat16):
+def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, dilation=1, compute_dtype=jnp.bfloat16):
     """Quantize x with the static `scale`, int8 conv, dequant (+bias)."""
     xq = _quantize_act(x, scale)
     acc = lax.conv_general_dilated(
@@ -126,6 +126,7 @@ def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, comp
         window_strides=(stride, stride),
         padding=padding,
         lhs_dilation=lhs_dilation or (1, 1),
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=CONV_DIMS,
         preferred_element_type=jnp.int32,
     )
@@ -152,6 +153,34 @@ class _Sites:
         return s
 
 
+
+def walk_encoder(q_enc, out, conv, dilate_last_stage=False):
+    """The four bottleneck stages with a pluggable conv (int8 or float);
+    site order per block: conv1, conv2, conv3, down_conv. Mirrors
+    resnet.apply_folded_stages incl. the DeepLab output-stride-16 mode
+    (layer4 stride 1, conv2 dilation 2). Returns (enc1..enc4)."""
+    relu = jax.nn.relu
+    skips = []
+    for si, (blocks, _) in enumerate(RESNET50_STAGES):
+        name = "layer{}".format(si + 1)
+        last_dilated = dilate_last_stage and si == len(RESNET50_STAGES) - 1
+        for bi in range(blocks):
+            qb = q_enc[name][bi]
+            stride = 2 if (bi == 0 and si > 0 and not last_dilated) else 1
+            dilation = 2 if last_dilated else 1
+            inner = relu(conv(qb["conv1"], out))
+            # Torch-style symmetric padding: SAME would pad (0, 1) at
+            # stride 2 (see resnet._bottleneck_apply).
+            inner = relu(
+                conv(qb["conv2"], inner, stride=stride, dilation=dilation, padding=((dilation, dilation),) * 2)
+            )
+            inner = conv(qb["conv3"], inner)
+            shortcut = conv(qb["down_conv"], out, stride=stride) if "down_conv" in qb else out
+            out = relu(inner + shortcut)
+        skips.append(out)
+    return tuple(skips)
+
+
 def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
     """Float stem, then bottleneck stacks and the decoder, visiting conv
     sites in a fixed order. Mirrors resnet.apply_folded + unet.decode_s2d;
@@ -164,11 +193,13 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
     """
     relu = jax.nn.relu
 
-    def conv(node, xx, stride=1, padding="SAME"):
+    def conv(node, xx, stride=1, dilation=1, padding="SAME"):
         scale = sites.next_scale(xx)
         if float_mode:  # every folded encoder conv carries a bias (BN fold)
-            return conv_bias_apply(node, xx, stride=stride, padding=padding)
-        return _int8_conv(node, xx, scale, stride=stride, padding=padding, compute_dtype=compute_dtype)
+            return conv_bias_apply(node, xx, stride=stride, dilation=dilation, padding=padding)
+        return _int8_conv(
+            node, xx, scale, stride=stride, dilation=dilation, padding=padding, compute_dtype=compute_dtype
+        )
 
     if blocked:
         from robosat_tpu.models.resnet import stem_folded_s2d4
@@ -178,21 +209,7 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
         out = relu(conv_bias_apply(q["encoder"]["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
         out = max_pool(out, window=3, stride=2, padding=1)
 
-    skips = []
-    for si, (blocks, _) in enumerate(RESNET50_STAGES):
-        name = "layer{}".format(si + 1)
-        for bi in range(blocks):
-            qb = q["encoder"][name][bi]
-            stride = 2 if (bi == 0 and si > 0) else 1
-            inner = relu(conv(qb["conv1"], out))
-            # Torch-style (1, 1) padding: SAME would pad (0, 1) at stride 2
-            # (see resnet._bottleneck_apply).
-            inner = relu(conv(qb["conv2"], inner, stride=stride, padding=((1, 1), (1, 1))))
-            inner = conv(qb["conv3"], inner)
-            shortcut = conv(qb["down_conv"], out, stride=stride) if "down_conv" in qb else out
-            out = relu(inner + shortcut)
-        skips.append(out)
-    enc1, enc2, enc3, enc4 = skips
+    enc1, enc2, enc3, enc4 = walk_encoder(q["encoder"], out, conv)
 
     def up_block(name, xx):
         # Fused upsample+conv in its 4x4 transposed-conv form.

@@ -138,6 +138,31 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
 
     norm = _normalize_s2d4 if host_s2d else normalize
     folded = jax.jit(model.fold)(params, state)
+
+    if hasattr(model, "predict_quantized_int8"):
+        # Model-owned hybrid-int8 protocol (DeepLab: models/deeplab.py) —
+        # the model calibrates, quantizes, and fuses its own head.
+        amaxes = np.asarray(
+            jax.jit(lambda f, r: model.calibration_amaxes_int8(f, norm(r), blocked=host_s2d))(folded, calib_raw)
+        )
+        scales = tuple(q8.scales_from_amaxes(amaxes))
+        qtree = jax.jit(model.quantize_folded_int8)(folded)
+
+        def step_m(qtree, raw):
+            x = norm(raw).astype(jnp.bfloat16)
+            return model.predict_quantized_int8(qtree, scales, x, overlap=overlap, blocked=host_s2d)
+
+        if mesh is None:
+            return jax.jit(step_m), qtree
+        return (
+            jax.jit(
+                step_m,
+                in_shardings=(replicated(mesh), batch_sharding(mesh, 4)),
+                out_shardings=batch_sharding(mesh, 3),
+            ),
+            qtree,
+        )
+
     amaxes = np.asarray(
         jax.jit(lambda f, r: q8.calibration_amaxes(f, norm(r), blocked=host_s2d))(folded, calib_raw)
     )

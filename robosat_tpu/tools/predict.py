@@ -82,10 +82,13 @@ def main(args):
     # `fused_head` (formerly `pallas_head`) in the model TOML; defaults on.
     use_fused = model_config["common"].get("fused_head", model_config["common"].get("pallas_head", True))
     # int8 = true in the model TOML runs the whole folded forward quantized
-    # (robosat_tpu/models/int8.py); calibration needs one real batch, so the
-    # step is built lazily inside the loop. U-Net only.
+    # (robosat_tpu/models/int8.py for the U-Net; DeepLab owns its hybrid
+    # walk in models/deeplab.py); calibration needs one real batch, so the
+    # step is built lazily inside the loop.
     is_unet = model_config["common"].get("model", "unet") == "unet"
-    int8_mode = model_config["common"].get("int8", False) and is_unet
+    int8_mode = model_config["common"].get("int8", False) and (
+        is_unet or hasattr(model, "predict_quantized_int8")
+    )
     use_s2d = model_config["common"].get("s2d", True)
     # Host-side 4x4 space-to-depth blocking of the input (loader workers do a
     # numpy reshape; the stem then runs as one MXU-wide conv — device-side
@@ -100,7 +103,7 @@ def main(args):
         )
     use_host_s2d = (
         model_config["common"].get("host_s2d", True)
-        and is_unet
+        and (is_unet or (int8_mode and hasattr(model, "predict_quantized_int8")))
         and use_s2d
         and use_fused
         and args.strip <= 1
@@ -158,7 +161,10 @@ def main(args):
     # (N, size/2, size/2, 4); the writer pool interleaves it back to the fine
     # grid (2 MB of numpy byte shuffling per batch, overlapped with device
     # compute — the same transposes cost ~0.6 ms/batch on device).
-    blocked_out = use_host_s2d and args.overlap % 2 == 0
+    # DeepLab's int8 path takes blocked INPUT but emits fine uint8 (its
+    # margin head upsamples from 1/4 resolution), so blocked_out is
+    # U-Net-only.
+    blocked_out = use_host_s2d and is_unet and args.overlap % 2 == 0
 
     palette = continuous_palette_for_color("pink", 256)
     writers = ThreadPoolExecutor(max_workers=max(args.workers, 2))

@@ -101,3 +101,118 @@ def test_predict_step_uses_fused_deeplab_path(dl_params):
     out = np.asarray(step(params, state, raw))
     assert out.shape == (1, 64, 64)
     assert out.dtype == np.uint8
+
+
+def test_deeplab_int8_matches_folded():
+    """The hybrid-int8 DeepLab walk agrees with the folded fp32 path: same
+    site count between calibration and inference, and near-total quantized
+    mask agreement (random-init logits saturate, so int8 noise flips almost
+    nothing; a structural walk mismatch collapses agreement)."""
+    import numpy as np
+    from robosat_tpu.models import deeplab
+    from robosat_tpu.models import int8 as q8
+    from robosat_tpu.ops.augment import normalize
+
+    params, state = deeplab.init(0, num_classes=2)
+    folded = jax.jit(deeplab.fold)(params, state)
+    raw = np.random.default_rng(0).integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    x = normalize(raw).astype(jnp.float32)
+
+    amaxes = np.asarray(
+        jax.jit(lambda f, r: deeplab.calibration_amaxes_int8(f, r))(folded, x)
+    )
+    # 53 backbone sites + aspp1 + 3 dilated + aspp_proj + dec1 + dec2 = 59.
+    assert amaxes.shape == (59,)
+    assert np.all(amaxes > 0)
+
+    scales = tuple(q8.scales_from_amaxes(amaxes))
+    qtree = jax.jit(deeplab.quantize_folded_int8)(folded)
+
+    fp_q = np.asarray(jax.jit(lambda f, r: deeplab.predict_quantized_folded(f, r))(folded, x))
+    q_q = np.asarray(
+        jax.jit(lambda qt, r: deeplab.predict_quantized_int8(qt, scales, r, compute_dtype=jnp.float32))(
+            qtree, x
+        )
+    )
+    assert q_q.shape == fp_q.shape
+    agreement = ((fp_q >= 128) == (q_q >= 128)).mean()
+    assert agreement >= 0.97, agreement
+
+
+def test_deeplab_int8_blocked_input_matches_fine():
+    """The s2d4 host-blocked stem variant of the int8 walk matches the fine
+    path (same scales, same weights; stem summation order differs only at fp
+    level)."""
+    import numpy as np
+    from robosat_tpu.models import deeplab
+    from robosat_tpu.models import int8 as q8
+    from robosat_tpu.models.layers import space_to_depth4
+    from robosat_tpu.ops.augment import normalize
+    from robosat_tpu.parallel.steps import _normalize_s2d4
+
+    params, state = deeplab.init(1, num_classes=2)
+    folded = jax.jit(deeplab.fold)(params, state)
+    raw = np.random.default_rng(1).integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    x_fine = normalize(raw).astype(jnp.float32)
+    x48 = _normalize_s2d4(space_to_depth4(raw)).astype(jnp.float32)
+
+    amaxes = np.asarray(jax.jit(lambda f, r: deeplab.calibration_amaxes_int8(f, r, blocked=True))(folded, x48))
+    scales = tuple(q8.scales_from_amaxes(amaxes))
+    qtree = jax.jit(deeplab.quantize_folded_int8)(folded)
+
+    fine = np.asarray(
+        jax.jit(lambda qt, r: deeplab.predict_quantized_int8(qt, scales, r, compute_dtype=jnp.float32))(qtree, x_fine)
+    )
+    blocked = np.asarray(
+        jax.jit(
+            lambda qt, r: deeplab.predict_quantized_int8(qt, scales, r, compute_dtype=jnp.float32, blocked=True)
+        )(qtree, x48)
+    )
+    assert blocked.shape == fine.shape
+    assert ((fine >= 128) == (blocked >= 128)).mean() >= 0.99
+
+
+@pytest.mark.slow
+def test_rs_predict_deeplab_int8_mode(tmp_path, slippy_fixtures):
+    """`rs predict` with model = deeplabv3plus + int8 = true produces valid
+    probability tiles through the real tool (model-owned int8 protocol +
+    host-blocked s2d input)."""
+    import argparse
+
+    from PIL import Image
+
+    from robosat_tpu.checkpoint import save_checkpoint
+    from robosat_tpu.config import save_config
+    from robosat_tpu.models import deeplab
+    from robosat_tpu.tools import predict
+
+    params, state = deeplab.init(0, num_classes=2)
+    chk = tmp_path / "model.npz"
+    save_checkpoint(str(chk), {"params": params, "state": state}, meta={"epoch": 1})
+
+    save_config(
+        {
+            "common": {
+                "cuda": False, "batch_size": 2, "image_size": 128,
+                "checkpoint": str(tmp_path), "int8": True, "model": "deeplabv3plus",
+            }
+        },
+        str(tmp_path / "model.toml"),
+    )
+    save_config(
+        {"common": {"dataset": str(tmp_path), "classes": ["background", "parking"], "colors": ["denim", "orange"]}},
+        str(tmp_path / "dataset.toml"),
+    )
+
+    predict.main(
+        argparse.Namespace(
+            batch_size=2, checkpoint=str(chk), overlap=32, strip=1, tile_size=128, workers=2,
+            tiles=str(slippy_fixtures / "images"), probs=str(tmp_path / "probs"),
+            model=str(tmp_path / "model.toml"), dataset=str(tmp_path / "dataset.toml"), profile=None,
+        )
+    )
+
+    outs = list((tmp_path / "probs").rglob("*.png"))
+    assert len(outs) == 3
+    img = Image.open(outs[0])
+    assert img.mode == "P" and img.size == (128, 128)
