@@ -10,7 +10,7 @@ A model entry is a module-like object with:
   apply(params, state, x, train) -> (logits, new_state)
 """
 
-from robosat_tpu.models import deeplab, unet
+from robosat_tpu.models import deeplab, segformer, unet
 
 _REGISTRY = {}
 
@@ -30,3 +30,4 @@ def get_model(name="unet"):
 
 register_model("unet", unet)
 register_model("deeplabv3plus", deeplab)
+register_model("segformer", segformer)
