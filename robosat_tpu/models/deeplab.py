@@ -268,12 +268,13 @@ def _walk_int8(q, x, sites, compute_dtype, float_mode=False, blocked=False):
     return relu(conv(q["dec2"], out))
 
 
-def calibration_amaxes_int8(folded, x, compute_dtype=jnp.float32, blocked=False):
-    """Per-conv-site input amaxes from one float forward (jit with real
-    imagery); indexes sites positionally like predict_quantized_int8."""
+def calibration_amaxes_int8(folded, x, compute_dtype=jnp.float32, blocked=False, percentile=None):
+    """Per-conv-site input amaxes (or percentiles) from one float forward
+    (jit with real imagery); indexes sites positionally like
+    predict_quantized_int8."""
     from robosat_tpu.models import int8 as q8
 
-    sites = q8._Sites(scales=None)
+    sites = q8._Sites(scales=None, percentile=percentile)
     _walk_int8(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True, blocked=blocked)
     return jnp.stack(sites.taps).astype(jnp.float32)
 

@@ -139,14 +139,23 @@ def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, dila
 class _Sites:
     """Positional conv-site cursor shared by calibration and inference."""
 
-    def __init__(self, scales=None):
+    def __init__(self, scales=None, percentile=None):
         self.scales = scales
+        self.percentile = percentile
         self.taps = []
         self.idx = 0
 
     def next_scale(self, x):
         if self.scales is None:
-            self.taps.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            a = jnp.abs(x.astype(jnp.float32))
+            if self.percentile is not None:
+                # Percentile clipping: on models with activation outliers a
+                # static amax scale wastes most of the int8 range — p99.9
+                # measured int8 IoU 0.27 -> 0.70 on a weakly-trained model
+                # (round 3). The one-off calibration sort is irrelevant.
+                self.taps.append(jnp.percentile(a, self.percentile))
+            else:
+                self.taps.append(jnp.max(a))
             return 1.0  # calibration runs in float; scale unused
         s = float(self.scales[self.idx])
         self.idx += 1
@@ -238,13 +247,14 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
     return s2d_block("dec5", s2d_conv3x3_kernel, dec4)
 
 
-def calibration_amaxes(folded, x, compute_dtype=jnp.float32, blocked=False):
-    """Per-conv-site input amaxes from one float forward over batch `x`.
+def calibration_amaxes(folded, x, compute_dtype=jnp.float32, blocked=False, percentile=None):
+    """Per-conv-site input amaxes (or |activation| percentiles) from one
+    float forward over batch `x`.
 
     Returns a float32 vector indexed by conv-site order (the order
     apply_features_int8 consumes). Jit this with real imagery.
     """
-    sites = _Sites(scales=None)
+    sites = _Sites(scales=None, percentile=percentile)
     _walk(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True, blocked=blocked)
     return jnp.stack(sites.taps).astype(jnp.float32)
 

@@ -121,7 +121,9 @@ def make_predict_step(
     )
 
 
-def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True, host_s2d=False):
+def make_int8_predict_step(
+    model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True, host_s2d=False, calib_percentile=None
+):
     """Compiled hybrid-int8 prediction (U-Net only; robosat_tpu.models.int8:
     int8 bottleneck stacks, bf16 stem + s2d decoder).
 
@@ -143,7 +145,11 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
         # Model-owned hybrid-int8 protocol (DeepLab: models/deeplab.py) —
         # the model calibrates, quantizes, and fuses its own head.
         amaxes = np.asarray(
-            jax.jit(lambda f, r: model.calibration_amaxes_int8(f, norm(r), blocked=host_s2d))(folded, calib_raw)
+            jax.jit(
+                lambda f, r: model.calibration_amaxes_int8(
+                    f, norm(r), blocked=host_s2d, percentile=calib_percentile
+                )
+            )(folded, calib_raw)
         )
         scales = tuple(q8.scales_from_amaxes(amaxes))
         qtree = jax.jit(model.quantize_folded_int8)(folded)
@@ -164,7 +170,9 @@ def make_int8_predict_step(model, params, state, calib_raw, mesh=None, overlap=0
         )
 
     amaxes = np.asarray(
-        jax.jit(lambda f, r: q8.calibration_amaxes(f, norm(r), blocked=host_s2d))(folded, calib_raw)
+        jax.jit(lambda f, r: q8.calibration_amaxes(f, norm(r), blocked=host_s2d, percentile=calib_percentile))(
+            folded, calib_raw
+        )
     )
     scales = tuple(q8.scales_from_amaxes(amaxes))
     qtree = jax.jit(q8.quantize_unet_folded)(folded)

@@ -237,7 +237,7 @@ def main(args):
 
             predict_step, qtree = make_int8_predict_step(
                 model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
-                host_s2d=use_host_s2d,
+                host_s2d=use_host_s2d, calib_percentile=calib_percentile,
             )
             qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):

@@ -149,3 +149,27 @@ def test_rs_predict_int8_mode(tmp_path, slippy_fixtures):
     img = Image.open(outs[0])
     assert img.mode == "P"
     assert img.size == (128, 128)
+
+
+def test_percentile_calibration_scales():
+    """int8_calibration = percentile taps |activation| percentiles instead of
+    amax; scales come out strictly smaller on outlier-heavy activations and
+    the quantized forward still runs site-consistent."""
+    params, state = unet.init(0, num_classes=2)
+    folded = unet.fold(params, state)
+    raw = np.random.default_rng(2).integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+
+    amax = np.asarray(jax.jit(lambda f, r: q8.calibration_amaxes(f, normalize(r)))(folded, raw))
+    p999 = np.asarray(
+        jax.jit(lambda f, r: q8.calibration_amaxes(f, normalize(r), percentile=99.9))(folded, raw)
+    )
+    assert amax.shape == p999.shape == (59,)
+    assert np.all(p999 <= amax + 1e-12)
+    assert np.mean(p999 < amax) > 0.5  # clipping actually engages
+
+    qtree = q8.quantize_unet_folded(folded)
+    scales = tuple(q8.scales_from_amaxes(p999))
+    feats = jax.jit(
+        lambda qt, r: q8.apply_features_int8(qt, scales, normalize(r), compute_dtype=jnp.float32)
+    )(qtree, raw)
+    assert np.all(np.isfinite(np.asarray(feats, np.float32)))
