@@ -432,6 +432,34 @@ int rs_decode_rgb(const char* path, uint8_t* out, int w, int h) {
   }
 }
 
+// Decode an 8-bit palette or grayscale PNG as its raw INDEX array (no
+// palette application) — the masks/features tools consume quantized class
+// indices (robosat/tools/masks.py:42, features.py); going through an RGB
+// round trip would triple the bytes and lose index identity.
+int rs_decode_indices(const char* path, uint8_t* out, int w, int h) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return ERR_IO;
+  if (sniff(buf) != FMT_PNG) return ERR_UNSUPPORTED;
+  PngHeader hdr;
+  std::vector<uint8_t> idat;
+  uint8_t palette[256][3];
+  int pal_count = 0;
+  int rc = png_parse(buf, hdr, idat, palette, &pal_count);
+  if (rc) return rc;
+  if (hdr.depth != 8 || hdr.interlace != 0) return ERR_UNSUPPORTED;
+  if (hdr.color != 3 && hdr.color != 0) return ERR_UNSUPPORTED;  // palette or gray
+  if (int(hdr.w) != w || int(hdr.h) != h) return ERR_DIMS;
+  size_t stride = hdr.w;
+  std::vector<uint8_t> raw((stride + 1) * hdr.h);
+  rc = zlib_inflate_all(idat, raw);
+  if (rc) return rc;
+  rc = png_unfilter(raw, hdr.h, stride, 1);
+  if (rc) return rc;
+  for (uint32_t y = 0; y < hdr.h; y++)
+    std::memcpy(out + size_t(y) * hdr.w, &raw[y * (stride + 1) + 1], stride);
+  return 0;
+}
+
 // Encode an (h, w) uint8 index tile as a palette PNG at `path`.
 // `pal` is npal*3 RGB bytes; `level` the zlib level (1 = the shipped default,
 // docs/PERF.md "PNG optimize").

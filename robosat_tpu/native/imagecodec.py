@@ -47,6 +47,8 @@ def load():
         lib.rs_image_info.argtypes = [ctypes.c_char_p, i32p, i32p]
         lib.rs_decode_rgb.restype = ctypes.c_int
         lib.rs_decode_rgb.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int]
+        lib.rs_decode_indices.restype = ctypes.c_int
+        lib.rs_decode_indices.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int]
         lib.rs_encode_palette_png.restype = ctypes.c_int
         lib.rs_encode_palette_png.argtypes = [
             ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
@@ -72,6 +74,23 @@ def decode_rgb(path):
         return None
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.rs_decode_rgb(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w.value, h.value
+    )
+    return out if rc == 0 else None
+
+
+def decode_indices(path):
+    """Decode an 8-bit palette/gray PNG as its raw (H, W) uint8 index array
+    (no palette application), or None for the PIL fallback."""
+    lib = load()
+    if lib is None:
+        return None
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    if lib.rs_image_info(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value), np.uint8)
+    rc = lib.rs_decode_indices(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w.value, h.value
     )
     return out if rc == 0 else None

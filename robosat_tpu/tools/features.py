@@ -37,6 +37,16 @@ def add_parser(subparser):
     parser.set_defaults(func=main)
 
 
+def _load_indices(path):
+    """Mask tile as its palette-index array (native codec, PIL fallback)."""
+    from robosat_tpu.native import imagecodec
+
+    idx = imagecodec.decode_indices(path)
+    if idx is None:
+        idx = np.array(Image.open(path).convert("P"), dtype=np.uint8)
+    return idx
+
+
 def main(args):
     dataset = load_config(args.dataset)
 
@@ -55,7 +65,7 @@ def main(args):
     for start in range(0, len(tiles), args.chunk):
         chunk = tiles[start : start + args.chunk]
         masks = np.stack(
-            [(np.array(Image.open(path).convert("P"), dtype=np.uint8) == index).astype(np.uint8) for _, path in chunk]
+            [(_load_indices(path) == index).astype(np.uint8) for _, path in chunk]
         )
         if len(chunk) < args.chunk:
             # Pad to the compiled batch shape; padded rows are discarded below.

@@ -39,7 +39,11 @@ def softvote(probs, axis=0, weights=None):
 
 def _load_probs(path):
     """A quantized probability PNG -> (2, H, W) [background; foreground]."""
-    quantized = np.array(Image.open(path).convert("P"))
+    from robosat_tpu.native import imagecodec
+
+    quantized = imagecodec.decode_indices(path)
+    if quantized is None:
+        quantized = np.array(Image.open(path).convert("P"))
     fg = ANCHORS[quantized]
     return np.stack([1.0 - fg, fg], axis=0)
 

@@ -120,3 +120,28 @@ def test_encode_palette_png_d2s_matches_interleave(tmp_path, lib):
     assert imagecodec.encode_palette_png_d2s(path, blocked, palette)
     with Image.open(path) as img:
         np.testing.assert_array_equal(np.asarray(img), fine)
+
+
+def test_decode_indices_palette(tmp_path, lib):
+    """Palette PNG index arrays decode raw (no palette application),
+    identical to PIL's P-mode pixels."""
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 256, (64, 48), dtype=np.uint8)
+    pal = np.tile(np.arange(256, dtype=np.uint8)[:, None], (1, 3)).reshape(-1)
+    img = Image.fromarray(idx, mode="P")
+    img.putpalette(pal)
+    path = str(tmp_path / "p.png")
+    img.save(path)
+
+    ours = imagecodec.decode_indices(path)
+    assert ours is not None
+    with Image.open(path) as ref_img:
+        ref = np.asarray(ref_img.convert("P"))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_decode_indices_refuses_rgb(tmp_path, lib):
+    rng = np.random.default_rng(8)
+    path = str(tmp_path / "rgb.png")
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(path)
+    assert imagecodec.decode_indices(path) is None
