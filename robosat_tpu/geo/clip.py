@@ -651,6 +651,19 @@ def boolean_op(geom_a, geom_b, op):
     return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 
 
+def overlay_iou_areas(geom_a, geom_b):
+    """(intersection_area, union_area) in one sweep (native) or two sweeps
+    (Python fallback — correctness path only)."""
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        return native.overlay_iou_areas(_collect_rings(geom_a), _collect_rings(geom_b))
+    inter, _ = _overlay(geom_a, geom_b, "intersection", want_geometry=False)
+    union_area, _ = _overlay(geom_a, geom_b, "union", want_geometry=False)
+    return inter, union_area
+
+
 def overlay_area(geom_a, geom_b, op):
     """Area of the boolean overlay without constructing geometry (exact)."""
     lib = _native()

@@ -84,14 +84,25 @@ def wgs_to_mollweide(lng, lat):
     k = np.pi * np.sin(phi)
     theta = phi.copy() if phi.ndim else np.array(phi, dtype=np.float64)
     theta = np.asarray(theta, dtype=np.float64)
-    for _ in range(25):
-        twot = 2.0 * theta
-        f = twot + np.sin(twot) - k
-        fp = 2.0 + 2.0 * np.cos(twot)
-        # Near the poles fp -> 0; clamp to keep Newton stable and rely on the
-        # sin saturating at +-1 there.
-        step = f / np.maximum(fp, 1e-12)
-        theta = theta - step
+
+    def newton(theta, iters):
+        for _ in range(iters):
+            twot = 2.0 * theta
+            f = twot + np.sin(twot) - k
+            fp = 2.0 + 2.0 * np.cos(twot)
+            # Near the poles fp -> 0; clamp to keep Newton stable and rely on
+            # the sin saturating at +-1 there.
+            theta = theta - f / np.maximum(fp, 1e-12)
+        return theta
+
+    # Quadratic convergence reaches <1e-8 m by 8 steps everywhere the slippy
+    # pipeline can produce coordinates (|lat| <= 85.06); only near-pole
+    # inputs converge linearly and take the long tail. The iou hot loop
+    # calls this per candidate pair, so the common case matters.
+    theta = newton(theta, 8)
+    twot = 2.0 * theta
+    if np.any(np.abs(twot + np.sin(twot) - k) > 1e-12):
+        theta = newton(theta, 17)
     theta = np.clip(theta, -np.pi / 2.0, np.pi / 2.0)
 
     x = 2.0 * np.sqrt(2.0) / np.pi * A * lam * np.cos(theta)

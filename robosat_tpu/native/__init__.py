@@ -66,6 +66,12 @@ def load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
+        lib.rs_overlay_iou_areas.restype = None
+        lib.rs_overlay_iou_areas.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.rs_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as exc:  # fall back to pure Python
@@ -167,6 +173,18 @@ def polys_intersect(pa, pb):
     ca, la, na, keep_a = _pack(list(pa.rings))  # noqa: F841
     cb, lb, nb, keep_b = _pack(list(pb.rings))  # noqa: F841
     return bool(lib.rs_polys_intersect(ca, la, na, cb, lb, nb))
+
+
+def overlay_iou_areas(rings_a, rings_b):
+    """(intersection_area, union_area) of two even-odd ring sets from one
+    native slab sweep."""
+    lib = load()
+    assert lib is not None
+    ca, la, na, keep_a = _pack(rings_a)  # noqa: F841
+    cb, lb, nb, keep_b = _pack(rings_b)  # noqa: F841
+    out = (ctypes.c_double * 2)()
+    lib.rs_overlay_iou_areas(ca, la, na, cb, lb, nb, out)
+    return float(out[0]), float(out[1])
 
 
 def overlay_rings(rings_a, rings_b, op):

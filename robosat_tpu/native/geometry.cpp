@@ -114,6 +114,7 @@ bool pred(int op, bool a, bool b) {
 
 struct Overlay {
     double area = 0.0;
+    double area2 = 0.0;         // op 6 (iou): union area alongside intersection
     double q = 0.0;             // snap quantum used
     std::vector<double> edges;  // x1,y1,x2,y2 per directed edge
 };
@@ -228,6 +229,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     std::unordered_map<std::pair<Pt, Pt>, std::pair<int, int>, KeyHash, KeyEq> merged;
     bool winding = (op == 4);
     bool erode_mode = (op == 5);
+    bool iou_mode = (op == 6);  // accumulate intersection AND union areas
     for (size_t i = 0; i < n; i++) {
         Pt prev = segs[i].p;
         auto flush = [&](const Pt& a, const Pt& b) {
@@ -371,6 +373,16 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 if (cur.pa) in_a = !in_a;
                 wind += cur.pb;
                 covered = in_a && wind == 0;
+            } else if (iou_mode) {
+                if (cur.pa) in_a = !in_a;
+                if (cur.pb) in_b = !in_b;
+                if (in_a || in_b) {
+                    const Active& nx = active[idx + 1];
+                    double trap = (x1 - x0) * (nx.ym - cur.ym);
+                    result.area2 += trap;
+                    if (in_a && in_b) result.area += trap;
+                }
+                continue;
             } else {
                 if (cur.pa) in_a = !in_a;
                 if (cur.pb) in_b = !in_b;
@@ -841,6 +853,17 @@ bool segs_intersect_c(double ax1, double ay1, double ax2, double ay2,
 }  // namespace
 
 extern "C" {
+
+// Intersection AND union areas of (a, b) from ONE slab sweep (op 6); writes
+// both through out2[0]=intersection, out2[1]=union. The iou hot path of
+// rs dedupe formerly ran two full overlays per candidate pair.
+void rs_overlay_iou_areas(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                          const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                          double* out2) {
+    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, 6, false);
+    out2[0] = r.area;
+    out2[1] = r.area2;
+}
 
 // 1 if the ring (len vertices, closing edge implied) is simple: no
 // degenerate edges, no collinear overlap between adjacent edges, and no

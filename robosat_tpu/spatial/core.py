@@ -40,8 +40,10 @@ def iou(lhs, rhs):
     lhs = project_ea(lhs)
     rhs = project_ea(rhs)
 
-    inter = clip.overlay_area(lhs, rhs, "intersection")
-    union_area = clip.overlay_area(lhs, rhs, "union")
+    # ONE overlay for both areas (the former union overlay doubled the
+    # dedupe hot path's cost; computing union from shoelace areas instead
+    # broke the snap-error cancellation between the two measures).
+    inter, union_area = clip.overlay_iou_areas(lhs, rhs)
     if union_area == 0:
         return 0.0
     rv = inter / union_area
