@@ -850,6 +850,56 @@ bool segs_intersect_c(double ax1, double ay1, double ax2, double ay2,
            (d3 == 0 && on_a(bx1, by1)) || (d4 == 0 && on_a(bx2, by2));
 }
 
+
+// Convex single-ring dilation: the Minkowski-sum boundary of a convex CCW
+// ring is directly constructible — each edge offset outward by r, joined by
+// the vertex arcs (the same arc discretization the wedge pieces use) — so
+// the overlay/weld machinery is skipped entirely. Returns false when the
+// ring is not strictly usable (non-convex, degenerate edges).
+bool convex_dilate(const std::vector<Pt>& ring, double r, int quad_segs, std::vector<Pt>& out) {
+    int n = (int)ring.size();
+    if (n < 3) return false;
+    // All edges non-degenerate and all turns left (CCW convex).
+    std::vector<Pt> dir(n);
+    for (int i = 0; i < n; i++) {
+        const Pt& p1 = ring[i];
+        const Pt& p2 = ring[(i + 1) % n];
+        double dx = p2.x - p1.x, dy = p2.y - p1.y;
+        double len = std::hypot(dx, dy);
+        if (len == 0.0) return false;
+        dir[i] = Pt{dx / len, dy / len};
+    }
+    for (int i = 0; i < n; i++) {
+        const Pt& a = dir[(i - 1 + n) % n];
+        const Pt& b = dir[i];
+        if (a.x * b.y - a.y * b.x < 0.0) return false;  // right turn: not convex
+    }
+    double step_cap = 0.5 * M_PI / std::max(quad_segs, 1);
+    out.clear();
+    out.reserve(size_t(n) * (quad_segs + 2));
+    for (int i = 0; i < n; i++) {
+        const Pt& v = ring[i];
+        const Pt& dprev = dir[(i - 1 + n) % n];
+        const Pt& dnext = dir[i];
+        // Arc from dprev's outward normal to dnext's (left normals for CCW).
+        double t1 = std::atan2(dprev.y, dprev.x) - 0.5 * M_PI;
+        double t2 = std::atan2(dnext.y, dnext.x) - 0.5 * M_PI;
+        double m = std::fmod(t2 - t1, 2.0 * M_PI);
+        if (m < 0.0) m += 2.0 * M_PI;  // left turn: span in [0, pi)
+        double span = m;
+        int steps = std::max((int)std::ceil(span / step_cap), 1);
+        if (span < 1e-9) {
+            out.push_back(Pt{v.x + r * std::cos(t1), v.y + r * std::sin(t1)});
+            continue;
+        }
+        for (int k = 0; k <= steps; k++) {
+            double a = t1 + span * (double)k / steps;
+            out.push_back(Pt{v.x + r * std::cos(a), v.y + r * std::sin(a)});
+        }
+    }
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1005,6 +1055,31 @@ double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t
 double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t n_rings,
                         double radius, int32_t quad_segs, int32_t mode,
                         int32_t** out_lens, int64_t* out_n_rings, double* out_q) {
+    // Convex single-ring dilation needs no overlay at all.
+    if (mode == 0 && n_rings == 1 && radius > 0.0) {
+        int len = ring_lens[0];
+        std::vector<Pt> ring(std::max(len, 0));
+        for (int i = 0; i < len; i++) ring[i] = Pt{coords[2 * i], coords[2 * i + 1]};
+        std::vector<Pt> dilated;
+        if (convex_dilate(ring, radius, quad_segs, dilated)) {
+            double lo = INFINITY, hi = -INFINITY;
+            for (const Pt& p : dilated) {
+                lo = std::min(lo, std::min(p.x, p.y));
+                hi = std::max(hi, std::max(p.x, p.y));
+            }
+            *out_q = std::max(std::max(hi - lo, std::fabs(hi)), std::max(std::fabs(lo), 1e-30)) * 1e-10;
+            *out_n_rings = 1;
+            *out_lens = (int32_t*)std::malloc(sizeof(int32_t));
+            if (*out_lens) (*out_lens)[0] = (int32_t)dilated.size();
+            double* out = (double*)std::malloc(std::max(dilated.size() * 2, (size_t)1) * sizeof(double));
+            if (out)
+                for (size_t i = 0; i < dilated.size(); i++) {
+                    out[2 * i] = dilated[i].x;
+                    out[2 * i + 1] = dilated[i].y;
+                }
+            return out;
+        }
+    }
     RingSink pieces;
     int64_t off = 0;
     for (int ri = 0; ri < n_rings; ri++) {

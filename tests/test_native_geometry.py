@@ -172,3 +172,24 @@ def test_native_ring_is_simple_matches_python(lib):
         finally:
             G._native_ring_is_simple = orig
         assert got == want, ring[:3]
+
+
+def test_native_convex_dilate_matches_python_oracle(lib):
+    """The convex single-ring dilation fast path (direct offset construction,
+    no overlay) agrees with the Python pieces oracle on area and symmetric
+    difference, and falls back correctly on concave rings."""
+    from robosat_tpu.geo.buffer import buffer_geometry
+
+    square = Polygon(np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]))
+    hexa = Polygon(
+        np.array([[2.0, 0.0], [4.0, 1.0], [4.5, 3.0], [2.0, 4.5], [-0.5, 3.0], [0.0, 1.0]])
+    )
+    concave = Polygon(np.array([[0.0, 0.0], [6.0, 0.0], [6.0, 6.0], [3.0, 2.0], [0.0, 6.0]]))
+    for geom in (square, hexa, concave):
+        ours = buffer_geometry(geom, 0.75)
+        oracle = _python_buffer(geom, 0.75)
+        a_ours = sum(p.area for p in ours.geoms)
+        a_oracle = sum(p.area for p in oracle.geoms)
+        assert a_ours == pytest.approx(a_oracle, rel=1e-6)
+        sym = clip.boolean_op(ours, oracle, "xor")
+        assert sum(p.area for p in sym.geoms) <= 1e-6 * a_oracle
