@@ -176,9 +176,13 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
         boxes[i] = Box{std::min(segs[i].p.x, segs[i].q.x) - q, std::min(segs[i].p.y, segs[i].q.y) - q,
                        std::max(segs[i].p.x, segs[i].q.x) + q, std::max(segs[i].p.y, segs[i].q.y) + q};
     }
+    // Sort (x0, idx) pairs directly — the indirect comparator through
+    // `boxes` cost more cache misses than the whole pair sort.
+    std::vector<std::pair<double, uint32_t>> xorder(n);
+    for (size_t i = 0; i < n; i++) xorder[i] = {boxes[i].x0, (uint32_t)i};
+    std::sort(xorder.begin(), xorder.end());
     std::vector<size_t> order(n);
-    for (size_t i = 0; i < n; i++) order[i] = i;
-    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) { return boxes[a].x0 < boxes[b].x0; });
+    for (size_t i = 0; i < n; i++) order[i] = xorder[i].second;
 
     std::vector<Pt> on_a, on_b;
     for (size_t oi = 0; oi < n; oi++) {
@@ -331,18 +335,38 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
 
     std::sort(spans.begin(), spans.end(), [](const Span& a, const Span& b) { return a.lo.x < b.lo.x; });
     size_t ptr = 0;
+    // Incrementally maintained active order: after splitting, no two spans
+    // cross strictly inside a slab, so the ym-order is invariant while both
+    // stay active — the per-slab sort becomes a stable compaction of
+    // leavers plus an ordered insertion per ENTERING span (binary search on
+    // ym at the entry slab). This was the dominant cost of city-scale
+    // erodes (one ~30-element sort per slab, ~2k slabs per call).
     std::vector<const Span*> current;
+    auto ym_at = [](const Span& s, double xm) {
+        return s.lo.y + (xm - s.lo.x) / (s.hi.x - s.lo.x) * (s.hi.y - s.lo.y);
+    };
     for (size_t k = 0; k + 1 < xs_v.size(); k++) {
         double x0 = xs_v[k], x1 = xs_v[k + 1];
         if (x1 <= x0) continue;
-        while (ptr < spans.size() && spans[ptr].lo.x <= x0) current.push_back(&spans[ptr++]);
         // A span ending before x1 never spans a later slab either.
         size_t w = 0;
         for (size_t r = 0; r < current.size(); r++)
             if (current[r]->hi.x >= x1) current[w++] = current[r];
         current.resize(w);
-
         double xm = 0.5 * (x0 + x1);
+        while (ptr < spans.size() && spans[ptr].lo.x <= x0) {
+            const Span* s = &spans[ptr++];
+            if (s->hi.x < x1) continue;
+            double y = ym_at(*s, xm);
+            size_t lo = 0, hi = current.size();
+            while (lo < hi) {
+                size_t mid = (lo + hi) / 2;
+                if (ym_at(*current[mid], xm) < y) lo = mid + 1;
+                else hi = mid;
+            }
+            current.insert(current.begin() + lo, s);
+        }
+
         active.clear();
         for (const Span* sp_ptr : current) {
             const Span& s = *sp_ptr;
@@ -358,7 +382,23 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             active.push_back(a);
         }
         if (active.empty()) continue;
-        std::sort(active.begin(), active.end(), [](const Active& a, const Active& b) { return a.ym < b.ym; });
+        // Rounding can nudge neighbors out of order at slab scale; a single
+        // adjacency-repair pass (insertion sort on an almost-sorted list)
+        // keeps the walk identical to a full sort at ~O(n).
+        for (size_t i = 1; i < active.size(); i++) {
+            if (active[i].ym < active[i - 1].ym) {
+                Active tmp = active[i];
+                const Span* tsp = current[i];
+                size_t j = i;
+                while (j > 0 && active[j - 1].ym > tmp.ym) {
+                    active[j] = active[j - 1];
+                    current[j] = current[j - 1];
+                    j--;
+                }
+                active[j] = tmp;
+                current[j] = tsp;
+            }
+        }
 
         bool in_a = false, in_b = false;
         int wind = 0;
