@@ -231,3 +231,65 @@ def convert_torch_deeplab(state_dict, num_classes=2):
         "b": arr("final.bias"),
     }
     return params, state
+
+
+def convert_torch_segformer(state_dict, num_classes=2):
+    """Convert a torch SegFormer state_dict (the layout of the raw-torch
+    oracle in tests/test_torch_segformer_parity.py: `stages.<i>.*` MiT
+    stages, `proj.<i>` decoder projections, fuse/fuse_bn/final) to
+    robosat_tpu.models.segformer's (params, state)."""
+    from robosat_tpu.models.segformer import DEPTHS, EMBED_DIMS, SR_RATIOS
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        return v.astype(np.float32)
+
+    def conv_w(key):
+        return np.transpose(arr(key), (2, 3, 1, 0))
+
+    def dw_conv_w(key):
+        # torch depthwise (C, 1, kh, kw) -> HWIO with feature groups: (kh, kw, 1, C).
+        return np.transpose(arr(key), (2, 3, 1, 0))
+
+    def dense(key):
+        return {"w": np.transpose(arr(key + ".weight"), (1, 0)), "b": arr(key + ".bias")}
+
+    def ln(key):
+        return {"scale": arr(key + ".weight"), "bias": arr(key + ".bias")}
+
+    params = {"stages": []}
+    for si in range(len(EMBED_DIMS)):
+        base = "stages.{}".format(si)
+        stage = {
+            "patch": {"w": conv_w(base + ".patch.weight"), "b": arr(base + ".patch.bias")},
+            "patch_ln": ln(base + ".patch_ln"),
+            "blocks": [],
+            "ln": ln(base + ".ln"),
+        }
+        for bi in range(DEPTHS[si]):
+            bb = "{}.blocks.{}".format(base, bi)
+            block = {
+                "ln1": ln(bb + ".ln1"),
+                "q": dense(bb + ".q"),
+                "kv": dense(bb + ".kv"),
+                "proj": dense(bb + ".proj"),
+                "ln2": ln(bb + ".ln2"),
+                "fc1": dense(bb + ".fc1"),
+                "dw": {"w": dw_conv_w(bb + ".dw.weight"), "b": arr(bb + ".dw.bias")},
+                "fc2": dense(bb + ".fc2"),
+            }
+            if SR_RATIOS[si] > 1:
+                block["sr"] = {"w": conv_w(bb + ".sr.weight"), "b": arr(bb + ".sr.bias")}
+                block["sr_ln"] = ln(bb + ".sr_ln")
+            stage["blocks"].append(block)
+        params["stages"].append(stage)
+
+    params["proj"] = [dense("proj.{}".format(i)) for i in range(len(EMBED_DIMS))]
+    params["fuse"] = {"w": conv_w("fuse.weight")}
+    params["fuse_bn"] = {"scale": arr("fuse_bn.weight"), "bias": arr("fuse_bn.bias")}
+    state = {
+        "fuse_bn": {"mean": arr("fuse_bn.running_mean"), "var": arr("fuse_bn.running_var")}
+    }
+    params["final"] = {"w": conv_w("final.weight"), "b": arr("final.bias")}
+    return params, state

@@ -118,7 +118,9 @@ def _block_apply(p, x, heads, sr_ratio):
     y = _ln(p["ln2"], x)
     y = _dense(p["fc1"], y)
     y = _conv(p["dw"], y, groups=y.shape[-1])
-    y = jax.nn.gelu(y)
+    # Exact (erf) GELU — torch nn.GELU's default, and the canonical
+    # SegFormer activation (jax defaults to the tanh approximation).
+    y = jax.nn.gelu(y, approximate=False)
     y = _dense(p["fc2"], y)
     return x + y
 
