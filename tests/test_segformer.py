@@ -94,3 +94,62 @@ def test_predict_step_uses_fused_segformer_path(sf_params):
     out = np.asarray(step(params, state, raw))
     assert out.shape == (1, 64, 64)
     assert out.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_rs_train_and_predict_segformer(tmp_path, slippy_fixtures):
+    """model = 'segformer' trains and predicts through the real CLI tools
+    (checkpoint artifact, resume-compatible meta, valid probability PNGs)."""
+    import argparse
+    import shutil
+
+    from PIL import Image
+
+    from robosat_tpu.config import save_config
+    from robosat_tpu.tools import predict, train
+
+    # Tiny train dataset from the shared slippy fixtures.
+    dataset_dir = tmp_path / "dataset"
+    for split in ("training", "validation"):
+        for kind in ("images", "labels"):
+            src = slippy_fixtures / ("images" if kind == "images" else "labels")
+            shutil.copytree(src, dataset_dir / split / kind)
+
+    save_config(
+        {
+            "common": {"dataset": str(dataset_dir), "classes": ["background", "parking"], "colors": ["denim", "orange"]},
+            "weights": {"values": [1.6, 5.7]},
+        },
+        str(tmp_path / "dataset.toml"),
+    )
+    save_config(
+        {
+            "common": {
+                "cuda": False, "batch_size": 2, "image_size": 64,
+                "checkpoint": str(tmp_path / "chk"), "model": "segformer", "sync_bn": False,
+            },
+            "opt": {"epochs": 1, "lr": 0.0001, "loss": "CrossEntropy"},
+        },
+        str(tmp_path / "model.toml"),
+    )
+
+    train.main(
+        argparse.Namespace(
+            model=str(tmp_path / "model.toml"), dataset=str(tmp_path / "dataset.toml"),
+            resume=False, checkpoint=None, profile=None, workers=2,
+        )
+    )
+    chks = sorted((tmp_path / "chk").glob("*.npz"))
+    assert chks, "rs train wrote no checkpoint"
+
+    predict.main(
+        argparse.Namespace(
+            batch_size=2, checkpoint=str(chks[-1]), overlap=16, strip=1, tile_size=64, workers=2,
+            tiles=str(slippy_fixtures / "images"), probs=str(tmp_path / "probs"),
+            model=str(tmp_path / "model.toml"), dataset=str(tmp_path / "dataset.toml"), profile=None,
+        )
+    )
+    outs = list((tmp_path / "probs").rglob("*.png"))
+    assert len(outs) == 3
+    img = Image.open(outs[0])
+    assert img.mode == "P" and img.size == (64, 64)
