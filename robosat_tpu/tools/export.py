@@ -30,6 +30,12 @@ def add_parser(subparser):
         "deployed fast path (uint8 tiles in -> quantized prob uint8 out, "
         "BN folded, fused margin head)",
     )
+    parser.add_argument(
+        "--family",
+        type=str,
+        default="unet",
+        help="model family to export (registry name: unet, deeplabv3plus, segformer)",
+    )
     parser.add_argument("model", type=str, help="path to save the serialized StableHLO model to")
 
     parser.set_defaults(func=main)
@@ -48,7 +54,7 @@ def main(args):
     dataset = load_config(args.dataset)
     num_classes = len(dataset["common"]["classes"])
 
-    model = get_model("unet")
+    model = get_model(getattr(args, "family", "unet"))
     params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
 
     if getattr(args, "graph", "logits") == "predict":

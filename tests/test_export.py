@@ -91,3 +91,37 @@ def test_export_predict_graph_roundtrip(tmp_path):
     d = np.minimum(d, 256 - d)
     assert (d <= 1).mean() > 0.99
     assert d.mean() < 1.0
+
+
+def test_export_other_family(tmp_path):
+    """--family exports non-U-Net registry models (segformer here)."""
+    from robosat_tpu.models import segformer
+
+    params, state = segformer.init(0, num_classes=2)
+    ckpt = tmp_path / "sf.npz"
+    save_checkpoint(str(ckpt), {"params": params, "state": state}, {"epoch": 1})
+    save_config(
+        {"common": {"dataset": str(tmp_path), "classes": ["background", "parking"], "colors": ["denim", "orange"]}},
+        str(tmp_path / "dataset.toml"),
+    )
+
+    out = tmp_path / "sf.stablehlo"
+    export.main(
+        argparse.Namespace(
+            dataset=str(tmp_path / "dataset.toml"),
+            image_size=64,
+            checkpoint=str(ckpt),
+            batch_size=1,
+            family="segformer",
+            model=str(out),
+        )
+    )
+    assert out.stat().st_size > 1_000_000
+
+    from jax import export as jax_export
+
+    rehydrated = jax_export.deserialize(out.read_bytes())
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(rehydrated.call(jnp.asarray(x)))
+    expected, _ = jax.jit(lambda p, s, v: segformer.apply(p, s, v, train=False))(params, state, x)
+    np.testing.assert_allclose(got, np.asarray(expected), rtol=1e-3, atol=1e-2)
