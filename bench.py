@@ -38,9 +38,47 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
+def _device_watchdog(timeout_s=180.0):
+    """Probe jax device discovery in a subprocess with a hard timeout.
+
+    The axon tunnel has been observed DYING mid-session (round 3: repeated
+    remote-compile crashes killed the host-side relay), after which even
+    jax.devices() blocks forever in the PJRT client. A hung benchmark would
+    stall the driver's round-end pipeline, so fail fast with an error line
+    instead.
+    """
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        return probe.returncode == 0 and "ok" in probe.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
     import sys
+
+    if not _device_watchdog():
+        print(
+            json.dumps(
+                {
+                    "metric": "predict_tiles_per_sec_512px",
+                    "value": 0.0,
+                    "unit": "tiles/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": "TPU unreachable: device discovery hung (axon tunnel down); last good measurement 892.8 (BENCH_r02)",
+                }
+            )
+        )
+        return
 
     import jax
 
