@@ -89,6 +89,10 @@ def main(args):
     int8_mode = model_config["common"].get("int8", False) and (
         is_unet or hasattr(model, "predict_quantized_int8")
     )
+    # int8_calibration = "amax" (default) or a percentile like 99.9: clipped
+    # scales keep outlier activations from wasting the int8 range.
+    calib = model_config["common"].get("int8_calibration", "amax")
+    calib_percentile = None if calib in ("amax", None) else float(calib)
     use_s2d = model_config["common"].get("s2d", True)
     # Host-side 4x4 space-to-depth blocking of the input (loader workers do a
     # numpy reshape; the stem then runs as one MXU-wide conv — device-side
