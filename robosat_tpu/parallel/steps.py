@@ -124,8 +124,9 @@ def make_predict_step(
 def make_int8_predict_step(
     model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True, host_s2d=False, calib_percentile=None
 ):
-    """Compiled hybrid-int8 prediction (U-Net only; robosat_tpu.models.int8:
-    int8 bottleneck stacks, bf16 stem + s2d decoder).
+    """Compiled hybrid-int8 prediction (robosat_tpu.models.int8 for the
+    U-Net: int8 bottleneck stacks, bf16 stem + s2d decoder; models exposing
+    the predict_quantized_int8 protocol — DeepLab — own their walk).
 
     Folds BN, calibrates per-conv-site activation scales on `calib_raw` (one
     real uint8 batch), quantizes weights per-channel, and returns

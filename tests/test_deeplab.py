@@ -49,8 +49,16 @@ def test_train_step_runs(dl_params):
     images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
     masks = rng.integers(0, 2, (2, 64, 64)).astype(np.int32)
 
-    p, s, o, loss, counts = step(params, state, optimizer.init(params), jax.random.PRNGKey(0), images, masks)
-    assert np.isfinite(float(loss))
+    opt_state = optimizer.init(params)
+    losses = []
+    p, s = params, state
+    for i in range(6):
+        p, s, opt_state, loss, counts = step(p, s, opt_state, jax.random.PRNGKey(0), images, masks)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # The family LEARNS under the shared step, not just runs: the loss
+    # descends over a few Adam steps on a fixed batch.
+    assert losses[-1] < losses[0], losses
     # BN state moved (train mode).
     before = np.asarray(state["aspp_proj"]["bn"]["mean"])
     after = np.asarray(s["aspp_proj"]["bn"]["mean"])
