@@ -712,6 +712,12 @@ def union_all(geoms):
     geoms = [g for g in geoms if g is not None and not g.is_empty]
     if not geoms:
         return MultiPolygon([])
+    if len(geoms) == 1:
+        # The reference's union is functools.reduce over pairwise .union
+        # (robosat/spatial/core.py:25-40): a single element is returned
+        # unchanged — valid polygons ARE their own union, no overlay needed.
+        g = geoms[0]
+        return g if isinstance(g, MultiPolygon) else MultiPolygon([g])
     rings = _canonical_union_rings(geoms)
     q = _snap_quantum(rings, [])
 

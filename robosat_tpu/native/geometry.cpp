@@ -940,6 +940,134 @@ bool convex_dilate(const std::vector<Pt>& ring, double r, int quad_segs, std::ve
     return true;
 }
 
+// Convex single-ring erosion: for a convex ring the eroded region
+// {x in P : dist(x, boundary) >= r} is the intersection of the edges'
+// inward-offset half-planes — interior points of a convex polygon always
+// project perpendicularly onto an edge interior (the medial axis of a convex
+// polygon has edge cells only), so vertex discs never govern and the arc
+// pieces' chord slivers lie inside the edge quads' coverage. The half-plane
+// intersection runs the classic deque algorithm (edges of a convex ring are
+// already angle-sorted), then every output vertex is verified against every
+// half-plane; any doubt returns false and the caller falls back to the
+// overlay path. Accepts either orientation. Returns true with an empty
+// `out` only when the erosion demonstrably vanishes (deque collapse with a
+// strictly infeasible certificate is NOT attempted — those fall back too).
+bool convex_erode(const std::vector<Pt>& ring, double r, std::vector<Pt>& out) {
+    int n = (int)ring.size();
+    if (n < 3) return false;
+    // Normalize to CCW.
+    double a2 = 0.0;
+    for (int i = 0; i < n; i++) {
+        const Pt& p = ring[i];
+        const Pt& q = ring[(i + 1) % n];
+        a2 += p.x * q.y - q.x * p.y;
+    }
+    std::vector<Pt> ccw(ring);
+    if (a2 < 0.0) std::reverse(ccw.begin(), ccw.end());
+
+    // Edge directions; require strict convexity (left or straight turns).
+    std::vector<Pt> dir(n), anchor(n);
+    for (int i = 0; i < n; i++) {
+        const Pt& p1 = ccw[i];
+        const Pt& p2 = ccw[(i + 1) % n];
+        double dx = p2.x - p1.x, dy = p2.y - p1.y;
+        double len = std::hypot(dx, dy);
+        if (len == 0.0) return false;
+        dir[i] = Pt{dx / len, dy / len};
+        // Inward (left) offset anchor of the edge line.
+        anchor[i] = Pt{p1.x - dir[i].y * r, p1.y + dir[i].x * r};
+    }
+    for (int i = 0; i < n; i++) {
+        const Pt& a = dir[(i - 1 + n) % n];
+        const Pt& b = dir[i];
+        if (a.x * b.y - a.y * b.x < 0.0) return false;  // right turn: not convex
+    }
+
+    // Half-plane i keeps the left side of the directed line (anchor, dir).
+    auto inside = [&](int h, const Pt& x, double eps) {
+        return dir[h].x * (x.y - anchor[h].y) - dir[h].y * (x.x - anchor[h].x) >= -eps;
+    };
+    auto inter = [&](int h1, int h2, Pt& x) {
+        double den = dir[h1].x * dir[h2].y - dir[h1].y * dir[h2].x;
+        if (std::fabs(den) < 1e-14) return false;  // (near-)parallel
+        double dx = anchor[h2].x - anchor[h1].x, dy = anchor[h2].y - anchor[h1].y;
+        double t = (dx * dir[h2].y - dy * dir[h2].x) / den;
+        x = Pt{anchor[h1].x + t * dir[h1].x, anchor[h1].y + t * dir[h1].y};
+        return true;
+    };
+
+    std::vector<int> dq;
+    dq.reserve(n);
+    Pt x;
+    for (int i = 0; i < n; i++) {
+        while (dq.size() >= 2) {
+            if (!inter(dq[dq.size() - 2], dq[dq.size() - 1], x)) return false;
+            if (inside(i, x, 0.0)) break;
+            dq.pop_back();
+        }
+        while (dq.size() >= 2) {
+            if (!inter(dq[0], dq[1], x)) return false;
+            if (inside(i, x, 0.0)) break;
+            dq.erase(dq.begin());
+        }
+        if (!dq.empty()) {
+            int b = dq.back();
+            double crs = dir[b].x * dir[i].y - dir[b].y * dir[i].x;
+            double dot = dir[b].x * dir[i].x + dir[b].y * dir[i].y;
+            if (std::fabs(crs) < 1e-14 && dot > 0.0) {
+                // Same direction: keep the more constraining line.
+                if (inside(b, anchor[i], 0.0)) dq.pop_back();
+                else continue;
+            }
+        }
+        dq.push_back(i);
+    }
+    while (dq.size() >= 3) {
+        if (!inter(dq[dq.size() - 2], dq[dq.size() - 1], x)) return false;
+        if (inside(dq[0], x, 0.0)) break;
+        dq.pop_back();
+    }
+    while (dq.size() >= 3) {
+        if (!inter(dq[0], dq[1], x)) return false;
+        if (inside(dq.back(), x, 0.0)) break;
+        dq.erase(dq.begin());
+    }
+    if (dq.size() < 3) return false;  // vanished or degenerate: let the overlay decide
+
+    // Vertices = consecutive line intersections; weld near-duplicates.
+    double scale = 1e-30;
+    for (const Pt& p : ccw) scale = std::max(scale, std::max(std::fabs(p.x), std::fabs(p.y)));
+    double weld = scale * 1e-12;
+    std::vector<Pt> verts;
+    verts.reserve(dq.size());
+    for (size_t k = 0; k < dq.size(); k++) {
+        if (!inter(dq[k], dq[(k + 1) % dq.size()], x)) return false;
+        if (!verts.empty() && std::fabs(x.x - verts.back().x) <= weld && std::fabs(x.y - verts.back().y) <= weld)
+            continue;
+        verts.push_back(x);
+    }
+    while (verts.size() >= 2 && std::fabs(verts.front().x - verts.back().x) <= weld &&
+           std::fabs(verts.front().y - verts.back().y) <= weld)
+        verts.pop_back();
+    if (verts.size() < 3) return false;
+
+    // Verification: every vertex satisfies every half-plane; positive area.
+    double vtol = scale * 1e-9 + r * 1e-9;
+    for (const Pt& v : verts)
+        for (int h = 0; h < n; h++)
+            if (!inside(h, v, vtol)) return false;
+    double area2 = 0.0;
+    for (size_t k = 0; k < verts.size(); k++) {
+        const Pt& p = verts[k];
+        const Pt& q = verts[(k + 1) % verts.size()];
+        area2 += p.x * q.y - q.x * p.y;
+    }
+    if (area2 <= 0.0) return false;
+
+    out = std::move(verts);
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1095,13 +1223,15 @@ double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t
 double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t n_rings,
                         double radius, int32_t quad_segs, int32_t mode,
                         int32_t** out_lens, int64_t* out_n_rings, double* out_q) {
-    // Convex single-ring dilation needs no overlay at all.
-    if (mode == 0 && n_rings == 1 && radius > 0.0) {
+    // Convex single-ring dilation/erosion needs no overlay at all.
+    if ((mode == 0 || mode == 2) && n_rings == 1 && radius > 0.0) {
         int len = ring_lens[0];
         std::vector<Pt> ring(std::max(len, 0));
         for (int i = 0; i < len; i++) ring[i] = Pt{coords[2 * i], coords[2 * i + 1]};
         std::vector<Pt> dilated;
-        if (convex_dilate(ring, radius, quad_segs, dilated)) {
+        bool ok = (mode == 0) ? convex_dilate(ring, radius, quad_segs, dilated)
+                              : convex_erode(ring, radius, dilated);
+        if (ok) {
             double lo = INFINITY, hi = -INFINITY;
             for (const Pt& p : dilated) {
                 lo = std::min(lo, std::min(p.x, p.y));

@@ -193,3 +193,39 @@ def test_native_convex_dilate_matches_python_oracle(lib):
         assert a_ours == pytest.approx(a_oracle, rel=1e-6)
         sym = clip.boolean_op(ours, oracle, "xor")
         assert sum(p.area for p in sym.geoms) <= 1e-6 * a_oracle
+
+
+def test_native_convex_erode_matches_python_oracle(lib):
+    """The convex single-ring erosion fast path (inward half-plane
+    intersection, no overlay) agrees with the Python pieces oracle, including
+    on dilate-then-erode closings (merge's hot case, where the arc chords
+    collapse to near-concurrent offset lines); concave rings fall back."""
+    from robosat_tpu.geo.buffer import buffer_geometry
+
+    square = Polygon(np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]))
+    hexa = Polygon(
+        np.array([[2.0, 0.0], [4.0, 1.0], [4.5, 3.0], [2.0, 4.5], [-0.5, 3.0], [0.0, 1.0]])
+    )
+    concave = Polygon(np.array([[0.0, 0.0], [6.0, 0.0], [6.0, 6.0], [3.0, 2.0], [0.0, 6.0]]))
+    cases = [(square, -0.75), (hexa, -0.75), (concave, -0.75)]
+    # Closing: dilate by r then erode by r (the rs merge component path).
+    cases += [(buffer_geometry(hexa, 2.0), -2.0), (buffer_geometry(square, 1.0), -1.0)]
+    for geom, distance in cases:
+        ours = buffer_geometry(geom, distance)
+        oracle = _python_buffer(geom, distance)
+        a_ours = sum(p.area for p in ours.geoms)
+        a_oracle = sum(p.area for p in oracle.geoms)
+        assert a_ours == pytest.approx(a_oracle, rel=1e-6), (distance, a_ours, a_oracle)
+        if a_oracle > 0:
+            sym = clip.boolean_op(ours, oracle, "xor")
+            assert sum(p.area for p in sym.geoms) <= 1e-6 * a_oracle
+
+
+def test_native_convex_erode_vanishing(lib):
+    """Eroding a convex ring by more than its inradius yields empty, through
+    the fast path's fall-back-to-overlay route (never a bogus sliver)."""
+    from robosat_tpu.geo.buffer import buffer_geometry
+
+    small = Polygon(np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]))
+    out = buffer_geometry(small, -5.0)
+    assert sum(p.area for p in out.geoms) == 0.0
