@@ -190,7 +190,7 @@ def walk_encoder(q_enc, out, conv, dilate_last_stage=False):
     return tuple(skips)
 
 
-def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
+def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=None):
     """Float stem, then bottleneck stacks and the decoder, visiting conv
     sites in a fixed order. Mirrors resnet.apply_folded + unet.decode_s2d;
     returns s2d parity-blocked decoder features.
@@ -243,6 +243,8 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False):
     dec1 = up_block("dec1", jnp.concatenate([enc3, dec0], axis=-1))
     dec2 = up_block("dec2", jnp.concatenate([enc2, dec1], axis=-1))
     dec3 = up_block("dec3", jnp.concatenate([enc1, dec2], axis=-1))
+    if stop_at == "dec3":
+        return dec3
     dec4 = s2d_block("dec4", s2d_up_conv3x3_kernel, dec3)
     return s2d_block("dec5", s2d_conv3x3_kernel, dec4)
 
@@ -269,6 +271,17 @@ def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=Fa
     features = _walk(qtree, x, sites, compute_dtype, blocked=blocked)
     assert sites.idx == len(list(scales)), "conv-site count mismatch with calibration"
     return features
+
+
+def apply_features_int8_to_dec3(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False):
+    """The int8 walk stopped at dec3: returns (dec3 activations, s4, s5) —
+    the last two calibration scales left for a fused Pallas tail
+    (robosat_tpu.models.qtail) to consume in-kernel."""
+    scales = list(scales)
+    sites = _Sites(scales=scales)
+    dec3 = _walk(qtree, x, sites, compute_dtype, blocked=blocked, stop_at="dec3")
+    assert sites.idx == len(scales) - 2, "dec4/dec5 scales must remain for the fused tail"
+    return dec3, scales[-2], scales[-1]
 
 
 def scales_from_amaxes(amaxes, margin=1.0):

@@ -121,6 +121,94 @@ def _tail_kernel(
     o_ref[0] = q.reshape(S, 4 * W)
 
 
+def _tail_features_kernel(
+    x_ref, top_ref, bot_ref, w4_ref, s4_ref, w5_ref, s5_ref, o_ref,
+    *, s4_in, s5_in, s_strips, compute_dtype,
+):
+    """dec4 + dec5 only (no head): the portion of _tail_kernel that is
+    proven to compile and run through the remote Mosaic compiler (the head
+    stage crashes it — docs/PERF.md round 3). Emits the relu'd dec5
+    activations for the existing XLA fused head."""
+    s = pl.program_id(1)
+
+    def quant(v, scale):
+        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+
+    S = x_ref.shape[1]
+    x = quant(x_ref[0], jnp.float32(s4_in))
+    top = quant(top_ref[0], jnp.float32(s4_in))
+    bot = quant(bot_ref[0], jnp.float32(s4_in))
+    top = jnp.where(s == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(s == s_strips - 1, jnp.zeros_like(bot), bot)
+
+    ext4 = jnp.concatenate([top, x, bot], axis=0)
+    y4 = _conv3x3_strip(ext4, w4_ref, s4_ref[:], S + 2, compute_dtype)
+    q5 = quant(y4, jnp.float32(s5_in))
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, q5.shape, 0)
+    first_bad = jnp.logical_and(s == 0, row_idx == 0)
+    last_bad = jnp.logical_and(s == s_strips - 1, row_idx == q5.shape[0] - 1)
+    q5 = jnp.where(jnp.logical_or(first_bad, last_bad), jnp.zeros_like(q5), q5)
+
+    o_ref[0] = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype)
+
+
+def fused_tail_features(x, node4, s4, node5, s5, strip_rows=8, compute_dtype=jnp.bfloat16, interpret=False):
+    """dec3 activations (N, H, W, 128) bf16 -> dec5 activations (N, H, W,
+    128), matching
+
+        y4 = relu(_int8_conv(node4, x, s4))          # s2d_up dec4
+        y5 = relu(_int8_conv(node5, y4, s5))         # s2d dec5
+
+    bit for bit (tests/test_qtail.py) with both convolutions VMEM-resident
+    per strip — one HBM read of dec3 and one write of dec5 instead of the
+    XLA chain's three full passes. The caller applies the existing fused
+    head (ops.head.fused_prediction_head_s2d_blocked)."""
+    n, h, w, c = x.shape
+    assert c == 128 and node4["wq"].shape[-1] == 128 and node5["wq"].shape[-1] == 128
+    S = strip_rows
+    assert h % S == 0, "strip_rows must divide H"
+    strips = h // S
+
+    w4 = tap_weights(node4["wq"])
+    ws4 = (node4["ws"].astype(jnp.float32) * jnp.float32(s4)).reshape(1, 128)
+    w5 = tap_weights(node5["wq"])
+    ws5 = (node5["ws"].astype(jnp.float32) * jnp.float32(s5)).reshape(1, 128)
+
+    kernel = functools.partial(
+        _tail_features_kernel, s4_in=float(s4), s5_in=float(s5), s_strips=strips, compute_dtype=compute_dtype
+    )
+
+    def top_map(i, s, S=S):
+        return (i, jnp.maximum(s * S - 2, 0) // 2, 0, 0)
+
+    def bot_map(i, s, S=S, h=h):
+        return (i, jnp.minimum((s + 1) * S, h - 2) // 2, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), compute_dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n, strips),
+            in_specs=[
+                pl.BlockSpec((1, S, w, c), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, w, c), top_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, w, c), bot_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, c, 128), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, c, 128), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, S, w, c), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * h * w * 9 * 128 * 128,
+            bytes_accessed=x.size * x.dtype.itemsize + n * h * w * c * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, x, w4, ws4, w5, ws5)
+
+
 def tap_weights(wq):
     """(3, 3, Cin, Cout) int8 kernel -> (9, Cin, Cout) in row-major tap order."""
     return jnp.asarray(wq).reshape(9, wq.shape[2], wq.shape[3])

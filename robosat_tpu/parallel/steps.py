@@ -122,7 +122,16 @@ def make_predict_step(
 
 
 def make_int8_predict_step(
-    model, params, state, calib_raw, mesh=None, overlap=0, fused_head=True, host_s2d=False, calib_percentile=None
+    model,
+    params,
+    state,
+    calib_raw,
+    mesh=None,
+    overlap=0,
+    fused_head=True,
+    host_s2d=False,
+    calib_percentile=None,
+    pallas_tail=None,
 ):
     """Compiled hybrid-int8 prediction (robosat_tpu.models.int8 for the
     U-Net: int8 bottleneck stacks, bf16 stem + s2d decoder; models exposing
@@ -179,10 +188,38 @@ def make_int8_predict_step(
     qtree = jax.jit(q8.quantize_unet_folded)(folded)
 
     blocked_out = host_s2d and fused_head and overlap % 2 == 0
+    if pallas_tail and not blocked_out:
+        raise ValueError("pallas_tail requires host_s2d + fused_head with an even overlap")
 
     def step(qtree, raw):
         x = norm(raw).astype(jnp.bfloat16)
-        features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d)
+        if pallas_tail:
+            # Fused Pallas tail (models/qtail.py): dec4 + dec5 (and with
+            # "full", the head too) VMEM-resident per strip instead of the
+            # XLA chain's three full HBM passes. Opt-in: the dec4+dec5
+            # kernel is proven on-chip; "full" awaits the Mosaic head-stage
+            # fix (docs/PERF.md round 3).
+            from robosat_tpu.models import qtail
+
+            dec3, s4, s5 = q8.apply_features_int8_to_dec3(
+                qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d
+            )
+            strip = max([s for s in (8, 9, 6, 4, 3, 2) if dec3.shape[1] % s == 0] or [dec3.shape[1]])
+            if pallas_tail == "full":
+                return qtail.fused_tail(
+                    dec3,
+                    qtree["dec4"],
+                    s4,
+                    qtree["dec5"],
+                    s5,
+                    qtree["final"]["w"],
+                    qtree["final"]["b"],
+                    overlap=overlap,
+                    strip_rows=strip,
+                )
+            features = qtail.fused_tail_features(dec3, qtree["dec4"], s4, qtree["dec5"], s5, strip_rows=strip)
+        else:
+            features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d)
         if fused_head:
             from robosat_tpu.ops.head import fused_prediction_head_s2d, fused_prediction_head_s2d_blocked
 

@@ -67,3 +67,47 @@ def test_fused_tail_edge_rows_zero_padded():
         qtail.fused_tail(x, node4, s4, node5, s5, w_final, b_final, overlap=0, strip_rows=8, interpret=True)
     )
     assert int((got != ref).sum()) == 0
+
+
+def test_fused_tail_features_bit_exact():
+    """The no-head variant (dec4 + dec5 only — the portion proven to compile
+    through the remote Mosaic compiler) is BIT-exact vs the shipped two-conv
+    chain: integer accumulation commutes and the dequant epilogues are
+    identical, so unlike the full tail there is no fp-reassociation caveat."""
+    rng = np.random.default_rng(2)
+    c = 128
+    node4 = q8._qkernel(jnp.asarray(rng.normal(0, 0.1, (3, 3, c, c)).astype(np.float32)))
+    node5 = q8._qkernel(jnp.asarray(rng.normal(0, 0.1, (3, 3, c, c)).astype(np.float32)))
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 24, 24, c)), jnp.bfloat16)
+    s4, s5 = 0.021, 0.013
+
+    y4 = jax.nn.relu(q8._int8_conv(node4, x, s4, compute_dtype=jnp.bfloat16))
+    ref = np.asarray(jax.nn.relu(q8._int8_conv(node5, y4, s5, compute_dtype=jnp.bfloat16)), np.float32)
+    got = np.asarray(
+        qtail.fused_tail_features(x, node4, s4, node5, s5, strip_rows=8, interpret=True), np.float32
+    )
+    assert got.shape == ref.shape
+    assert int((got != ref).sum()) == 0
+
+
+def test_to_dec3_walk_matches_full_walk():
+    """apply_features_int8_to_dec3 + the XLA dec4/dec5 chain reproduces
+    apply_features_int8 bit for bit on a real quantized U-Net — the contract
+    make_int8_predict_step(pallas_tail=...) builds on (the Pallas tail then
+    replaces that chain, itself pinned bit-exact above)."""
+    from robosat_tpu.models import unet
+
+    params, state = unet.init(0, num_classes=2)
+    folded = unet.fold(params, state)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)).astype(np.float32) / 255.0, jnp.bfloat16)
+    amaxes = np.asarray(q8.calibration_amaxes(folded, x.astype(jnp.float32)))
+    scales = tuple(q8.scales_from_amaxes(amaxes))
+    qtree = q8.quantize_unet_folded(folded)
+
+    full = np.asarray(q8.apply_features_int8(qtree, scales, x), np.float32)
+    dec3, s4, s5 = q8.apply_features_int8_to_dec3(qtree, scales, x)
+    y4 = jax.nn.relu(q8._int8_conv(qtree["dec4"], dec3, s4, compute_dtype=jnp.bfloat16))
+    y5 = np.asarray(jax.nn.relu(q8._int8_conv(qtree["dec5"], y4, s5, compute_dtype=jnp.bfloat16)), np.float32)
+    assert y5.shape == full.shape
+    assert int((y5 != full).sum()) == 0
