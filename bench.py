@@ -127,7 +127,20 @@ def main():
                 x = (_normalize_s2d4(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
             else:
                 x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
-            if dtype == "int8":
+            if dtype in ("int8_pt", "int8_ptf"):
+                from robosat_tpu.models import qtail
+
+                dec3, s4, s5 = q8.apply_features_int8_to_dec3(
+                    tree, scales, x, compute_dtype=jnp.bfloat16, blocked=blocked
+                )
+                if dtype == "int8_ptf":
+                    quantized = qtail.fused_tail(
+                        dec3, tree["dec4"], s4, tree["dec5"], s5,
+                        tree["final"]["w"], tree["final"]["b"], overlap=overlap, strip_rows=8,
+                    )
+                    return jnp.sum(quantized.astype(jnp.int32))
+                features = qtail.fused_tail_features(dec3, tree["dec4"], s4, tree["dec5"], s5, strip_rows=8)
+            elif dtype == "int8":
                 features = q8.apply_features_int8(tree, scales, x, compute_dtype=jnp.bfloat16, blocked=blocked)
             elif blocked:
                 features = unet.apply_features_folded_s2d_from48(tree, x)
@@ -146,7 +159,7 @@ def main():
         return step
 
     def measure(dtype, layout, batch, reps):
-        tree = qtree if dtype == "int8" else folded_d
+        tree = folded_d if dtype == "bf16" else qtree
         raw = raw_fine_all[:batch]
         if layout == "blocked":
             raw = space_to_depth4(raw)
@@ -168,17 +181,27 @@ def main():
         return max((t_long - t_short) / (long_ - short), 1e-9)
 
     sweep = {}
-    for dtype in ("int8", "bf16"):
-        for layout in ("blocked", "fine"):
-            for batch in (8, 16, 32):
-                key = "{}/{}/b{}".format(dtype, layout, batch)
-                is_headline = dtype == "int8" and layout == "blocked" and batch == headline_batch
-                try:
-                    per_batch = measure(dtype, layout, batch, reps=5 if is_headline else 3)
-                    sweep[key] = {"ms_per_batch": round(per_batch * 1e3, 3), "tiles_per_s": round(batch / per_batch, 1)}
-                except Exception as exc:  # noqa: BLE001 — a cell must not sink the headline
-                    sweep[key] = {"error": str(exc)[:160]}
-                print("{}: {}".format(key, sweep[key]), file=sys.stderr, flush=True)
+    # The experimental Pallas-tail cells are opt-in (BENCH_PALLAS=1) and run
+    # LAST: a remote Mosaic compile crash has been observed killing the
+    # tunnel relay itself (docs/PERF.md round 3) — after which PJRT calls
+    # block forever in C and would hang the driver's round-end run.
+    cells = [
+        (dtype, layout, batch)
+        for dtype in ("int8", "bf16")
+        for layout in ("blocked", "fine")
+        for batch in (8, 16, 32)
+    ]
+    if os.environ.get("BENCH_PALLAS"):
+        cells += [("int8_pt", "blocked", headline_batch), ("int8_ptf", "blocked", headline_batch)]
+    for dtype, layout, batch in cells:
+        key = "{}/{}/b{}".format(dtype, layout, batch)
+        is_headline = dtype == "int8" and layout == "blocked" and batch == headline_batch
+        try:
+            per_batch = measure(dtype, layout, batch, reps=5 if is_headline else 3)
+            sweep[key] = {"ms_per_batch": round(per_batch * 1e3, 3), "tiles_per_s": round(batch / per_batch, 1)}
+        except Exception as exc:  # noqa: BLE001 — a cell must not sink the headline
+            sweep[key] = {"error": str(exc)[:160]}
+        print("{}: {}".format(key, sweep[key]), file=sys.stderr, flush=True)
 
     headline = sweep["int8/blocked/b{}".format(headline_batch)]
     per_chip = headline.get("tiles_per_s", 0.0)

@@ -124,6 +124,97 @@ def _dec_kernel(x_ref, top_ref, bot_ref, w_ref, ws_ref, b_ref, o_ref, *, s_in, s
     o_ref[0] = jnp.stack(fine, axis=1).reshape(2 * S, 2 * W, cout)
 
 
+def _dec_kernel_sep(x_ref, top_ref, bot_ref, w_ref, ws_ref, b_ref, o_ref, *, s_in, s_strips, compute_dtype):
+    """Parity-SEPARATED variant of _dec_kernel: the four parity outputs are
+    written channel-grouped, (S, W, 4*Cout) with parity p in channels
+    [p*Cout, (p+1)*Cout) — i.e. the space-to-depth2 layout of the fine
+    output. Skipping the in-VMEM interleave (stack + reshape, ~0.9 ms at
+    dec3 shapes) is what makes this form BEAT XLA's dilated conv: 1.44 ms
+    vs 1.65 at dec3, batch 8 (docs/PERF.md round 3). A consumer must accept
+    blocked layout (the fused tail kernel, models/qtail.py)."""
+    s = pl.program_id(1)
+    scale = jnp.float32(s_in)
+
+    def quant(v):
+        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+
+    x = quant(x_ref[0])
+    top = quant(top_ref[0])
+    bot = quant(bot_ref[0])
+    top = jnp.where(s == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(s == s_strips - 1, jnp.zeros_like(bot), bot)
+
+    S, W, cin = x.shape
+    cout = o_ref.shape[-1] // 4
+
+    ext = jnp.concatenate([top, x, bot], axis=0)
+    shifted = {b: _shift_cols(ext, b) for b in (-1, 0, 1)}
+
+    outs = []
+    for di in (0, 1):
+        a_offs = _PARITY_TAPS[di][0]
+        for dj in (0, 1):
+            b_offs = _PARITY_TAPS[dj][0]
+            p = 2 * di + dj
+            acc = None
+            for t, (a, b) in enumerate([(a, b) for a in a_offs for b in b_offs]):
+                operand = shifted[b][a + 1 : a + 1 + S].reshape(S * W, cin)
+                d = jax.lax.dot_general(
+                    operand, w_ref[p, t], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                acc = d if acc is None else acc + d
+            y = acc.astype(jnp.float32) * ws_ref[:] + b_ref[:]
+            outs.append(jax.nn.relu(y.astype(compute_dtype)).reshape(S, W, cout))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def parity_up_conv_separated(x, node, s_in, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=False):
+    """parity_up_conv with space-to-depth2 (channel-grouped parity) output:
+    (N, H, W, Cin) -> (N, H, W, 4*Cout), bit-identical to
+    layers.space_to_depth2(parity_up_conv(...))."""
+    n, h, w, cin = x.shape
+    cout = node["wq"].shape[-1]
+    S = strip_rows or max([s for s in (2, 3, 4, 8, 9) if h % s == 0] or [h])
+    assert h % S == 0, "strip_rows must divide H"
+    strips = h // S
+
+    wp = parity_tap_weights(node["wq"])
+    ws = (node["ws"].astype(jnp.float32) * jnp.float32(s_in)).reshape(1, cout)
+    bias = node.get("b")
+    bias = jnp.zeros((1, cout), jnp.float32) if bias is None else jnp.asarray(bias, jnp.float32).reshape(1, cout)
+
+    kernel = functools.partial(_dec_kernel_sep, s_in=float(s_in), s_strips=strips, compute_dtype=compute_dtype)
+
+    def top_map(i, s, S=S):
+        return (i, jnp.maximum(s * S - 1, 0), 0, 0)
+
+    def bot_map(i, s, S=S, last=h - 1):
+        return (i, jnp.minimum((s + 1) * S, last), 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, 4 * cout), compute_dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n, strips),
+            in_specs=[
+                pl.BlockSpec((1, S, w, cin), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, w, cin), top_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, w, cin), bot_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, 4, cin, cout), lambda i, s: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, S, w, 4 * cout), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * 4 * h * w * 4 * cin * cout,
+            bytes_accessed=x.size * x.dtype.itemsize + n * 4 * h * w * cout * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, x, wp, ws, bias)
+
+
 def parity_up_conv(x, node, s_in, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=False):
     """Pallas transposed-conv up_block: bf16 x (N, H, W, Cin) -> relu'd
     (N, 2H, 2W, Cout), bit-identical to models.int8._int8_conv with

@@ -93,6 +93,10 @@ def main(args):
     # scales keep outlier activations from wasting the int8 range.
     calib = model_config["common"].get("int8_calibration", "amax")
     calib_percentile = None if calib in ("amax", None) else float(calib)
+    # pallas_tail = "tail" | "full" in the model TOML swaps the int8 U-Net's
+    # dec4/dec5 (and with "full", the head) for the fused Pallas kernel
+    # (models/qtail.py) — opt-in while the A/B on chip is pending.
+    pallas_tail = model_config["common"].get("pallas_tail", None) or None
     use_s2d = model_config["common"].get("s2d", True)
     # Host-side 4x4 space-to-depth blocking of the input (loader workers do a
     # numpy reshape; the stem then runs as one MXU-wide conv — device-side
@@ -242,6 +246,7 @@ def main(args):
             predict_step, qtree = make_int8_predict_step(
                 model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
                 host_s2d=use_host_s2d, calib_percentile=calib_percentile,
+                pallas_tail=pallas_tail if is_unet else None,
             )
             qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):

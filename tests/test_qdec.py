@@ -53,3 +53,23 @@ def test_parity_tap_weights_cover_all_taps():
         [np.asarray(wq)[0, 0], np.asarray(wq)[0, 2], np.asarray(wq)[2, 0], np.asarray(wq)[2, 2]], axis=0
     )
     assert np.array_equal(wp[0], expected)
+
+
+def test_parity_up_conv_separated_bit_exact():
+    """The separated (space-to-depth2 output) variant equals the interleaved
+    kernel's output re-blocked — and therefore the XLA reference too."""
+    from robosat_tpu.models.layers import space_to_depth2
+
+    rng = np.random.default_rng(5)
+    cin, cout, h, w = 64, 32, 12, 12
+    node = {
+        "wq": jnp.asarray(rng.integers(-127, 128, (4, 4, cin, cout)), jnp.int8),
+        "ws": jnp.asarray(rng.uniform(0.001, 0.01, (cout,)).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.normal(0, 1.0, (2, h, w, cin)), jnp.bfloat16)
+    s_in = 0.02
+    fine = qdec.parity_up_conv(x, node, s_in, strip_rows=4, interpret=True)
+    want = np.asarray(space_to_depth2(fine), np.float32)
+    got = np.asarray(qdec.parity_up_conv_separated(x, node, s_in, strip_rows=4, interpret=True), np.float32)
+    assert got.shape == want.shape
+    assert int((got != want).sum()) == 0
