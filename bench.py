@@ -127,7 +127,12 @@ def main():
                 x = (_normalize_s2d4(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
             else:
                 x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
-            if dtype in ("int8_pt", "int8_ptf"):
+            if dtype == "int8_pe":
+                # Pallas bottleneck kernel on encoder layer1 (models/qenc).
+                features = q8.apply_features_int8(
+                    tree, scales, x, compute_dtype=jnp.bfloat16, blocked=blocked, pallas_layer1=True
+                )
+            elif dtype in ("int8_pt", "int8_ptf"):
                 from robosat_tpu.models import qtail
 
                 dec3, s4, s5 = q8.apply_features_int8_to_dec3(
@@ -159,7 +164,7 @@ def main():
         return step
 
     def measure(dtype, layout, batch, reps):
-        tree = folded_d if dtype == "bf16" else qtree
+        tree = folded_d if dtype == "bf16" else qtree  # int8_* variants share qtree
         raw = raw_fine_all[:batch]
         if layout == "blocked":
             raw = space_to_depth4(raw)
@@ -192,7 +197,11 @@ def main():
         for batch in (8, 16, 32)
     ]
     if os.environ.get("BENCH_PALLAS"):
-        cells += [("int8_pt", "blocked", headline_batch), ("int8_ptf", "blocked", headline_batch)]
+        cells += [
+            ("int8_pe", "blocked", headline_batch),
+            ("int8_pt", "blocked", headline_batch),
+            ("int8_ptf", "blocked", headline_batch),
+        ]
     for dtype, layout, batch in cells:
         key = "{}/{}/b{}".format(dtype, layout, batch)
         is_headline = dtype == "int8" and layout == "blocked" and batch == headline_batch

@@ -114,7 +114,16 @@ def quantize_unet_folded(folded):
 
 
 def _quantize_act(x, scale):
-    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    # Multiply by the f32 reciprocal instead of dividing: f32 multiplication
+    # is single-rounding-deterministic on EVERY backend, while division gets
+    # lowered to reciprocal approximations with backend-specific refinement
+    # (TPU has no divider) and compilers fold constant divisors into
+    # reciprocal-multiplies anyway (measured: Pallas interpret turns
+    # round(v / 0.015) of 1.6875 into 113 where eager division gives 112).
+    # Baking the reciprocal makes the Pallas kernels (qdec/qtail/qenc)
+    # replicable bit for bit against this graph.
+    inv = jnp.float32(np.float32(1.0) / np.float32(scale))
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
 
 
 def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, dilation=1, compute_dtype=jnp.bfloat16):
@@ -163,15 +172,23 @@ class _Sites:
 
 
 
-def walk_encoder(q_enc, out, conv, dilate_last_stage=False):
+def walk_encoder(q_enc, out, conv, dilate_last_stage=False, stage_overrides=None):
     """The four bottleneck stages with a pluggable conv (int8 or float);
     site order per block: conv1, conv2, conv3, down_conv. Mirrors
     resnet.apply_folded_stages incl. the DeepLab output-stride-16 mode
-    (layer4 stride 1, conv2 dilation 2). Returns (enc1..enc4)."""
+    (layer4 stride 1, conv2 dilation 2). Returns (enc1..enc4).
+
+    `stage_overrides` maps stage index -> fn(stage_blocks, x) -> y replacing
+    that stage's walk wholesale (the Pallas bottleneck kernel, models/qenc);
+    an override owns its stage's conv-site scale consumption."""
     relu = jax.nn.relu
     skips = []
     for si, (blocks, _) in enumerate(RESNET50_STAGES):
         name = "layer{}".format(si + 1)
+        if stage_overrides and si in stage_overrides:
+            out = stage_overrides[si](q_enc[name], out)
+            skips.append(out)
+            continue
         last_dilated = dilate_last_stage and si == len(RESNET50_STAGES) - 1
         for bi in range(blocks):
             qb = q_enc[name][bi]
@@ -190,7 +207,8 @@ def walk_encoder(q_enc, out, conv, dilate_last_stage=False):
     return tuple(skips)
 
 
-def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=None):
+def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=None,
+          pallas_layer1=False, pallas_interpret=False):
     """Float stem, then bottleneck stacks and the decoder, visiting conv
     sites in a fixed order. Mirrors resnet.apply_folded + unet.decode_s2d;
     returns s2d parity-blocked decoder features.
@@ -218,7 +236,24 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=N
         out = relu(conv_bias_apply(q["encoder"]["conv1"], x, stride=2, padding=((3, 3), (3, 3))))
         out = max_pool(out, window=3, stride=2, padding=1)
 
-    enc1, enc2, enc3, enc4 = walk_encoder(q["encoder"], out, conv)
+    overrides = None
+    if pallas_layer1 and not float_mode:
+        # Encoder layer1 via the Pallas bottleneck kernel (models/qenc):
+        # the 64-channel intermediates stay VMEM-resident instead of
+        # lane-padding 2x in HBM (docs/PERF.md round 3 — layer1 runs
+        # ~1.4 ms vs a ~1.0 roofline under XLA). Bit-identical to the
+        # _int8_conv walk (tests/test_qenc.py).
+        from robosat_tpu.models import qenc as _qenc
+
+        def _layer1(stage, xx):
+            n_sites = sum(3 + ("down_conv" in qb) for qb in stage)
+            stage_scales = [sites.next_scale(xx) for _ in range(n_sites)]
+            return _qenc.apply_stage_blocks(
+                xx, stage, stage_scales, compute_dtype=compute_dtype, interpret=pallas_interpret
+            )
+
+        overrides = {0: _layer1}
+    enc1, enc2, enc3, enc4 = walk_encoder(q["encoder"], out, conv, stage_overrides=overrides)
 
     def up_block(name, xx):
         # Fused upsample+conv in its 4x4 transposed-conv form.
@@ -261,25 +296,30 @@ def calibration_amaxes(folded, x, compute_dtype=jnp.float32, blocked=False, perc
     return jnp.stack(sites.taps).astype(jnp.float32)
 
 
-def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False):
+def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False,
+                        pallas_layer1=False, pallas_interpret=False):
     """Hybrid int8 forward to s2d decoder features: float stem -> int8
     bottleneck stacks -> int8 decoder (rewritten kernel forms). `scales` is
     a host float sequence (amax/127 per conv site, calibration order);
     returns parity-blocked NHWC features for
-    robosat_tpu.ops.head.fused_prediction_head_s2d."""
+    robosat_tpu.ops.head.fused_prediction_head_s2d. `pallas_layer1` runs
+    encoder layer1 through the Pallas bottleneck kernel (models/qenc)."""
     sites = _Sites(scales=list(scales))
-    features = _walk(qtree, x, sites, compute_dtype, blocked=blocked)
+    features = _walk(qtree, x, sites, compute_dtype, blocked=blocked,
+                     pallas_layer1=pallas_layer1, pallas_interpret=pallas_interpret)
     assert sites.idx == len(list(scales)), "conv-site count mismatch with calibration"
     return features
 
 
-def apply_features_int8_to_dec3(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False):
+def apply_features_int8_to_dec3(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False,
+                                pallas_layer1=False, pallas_interpret=False):
     """The int8 walk stopped at dec3: returns (dec3 activations, s4, s5) —
     the last two calibration scales left for a fused Pallas tail
     (robosat_tpu.models.qtail) to consume in-kernel."""
     scales = list(scales)
     sites = _Sites(scales=scales)
-    dec3 = _walk(qtree, x, sites, compute_dtype, blocked=blocked, stop_at="dec3")
+    dec3 = _walk(qtree, x, sites, compute_dtype, blocked=blocked, stop_at="dec3",
+                 pallas_layer1=pallas_layer1, pallas_interpret=pallas_interpret)
     assert sites.idx == len(scales) - 2, "dec4/dec5 scales must remain for the fused tail"
     return dec3, scales[-2], scales[-1]
 

@@ -42,6 +42,26 @@ from jax.experimental.pallas import tpu as pltpu
 _PARITY_TAPS = {0: ((-1, 0), (0, 2)), 1: ((0, 1), (1, 3))}  # parity -> (offsets, k4 rows)
 
 
+def round_to(v32, dtype):
+    """Round f32 to `dtype`'s precision IN f32, without a convert pair the
+    compiler could elide.
+
+    The XLA graphs these kernels replace materialize compute-dtype (bf16)
+    activations between convolutions — each one a round-to-nearest-even.
+    Inside a single fused kernel, an astype(bf16).astype(f32) chain can be
+    folded away (measured in Pallas interpret mode), which shifts the next
+    quantization step at exact .5 boundaries and breaks byte-identity with
+    the shipped graph. Rounding via the integer bit pattern (u + 0x7fff +
+    lsb, truncate the low 16) is the same RNE result and cannot be elided.
+    Finite values only (post-epilogue activations are)."""
+    if dtype == jnp.float32:
+        return v32
+    assert dtype == jnp.bfloat16, "only bf16 compute is rounded"
+    u = jax.lax.bitcast_convert_type(v32, jnp.uint32)
+    u = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def parity_tap_weights(wq):
     """(4, 4, Cin, Cout) int8 K4 kernel -> (4, 4, Cin, Cout) per-parity
     per-tap weights: [p = 2*di + dj, tap] with taps in
@@ -78,12 +98,13 @@ def _dec_kernel(x_ref, top_ref, bot_ref, w_ref, ws_ref, b_ref, o_ref, *, s_in, s
     accumulates four (S*W, Cin) x (Cin, Cout) int32 dots.
     """
     s = pl.program_id(1)
-    scale = jnp.float32(s_in)
+    inv = jnp.float32(np.float32(1.0) / np.float32(s_in))
 
     def quant(v):
-        # Division, not reciprocal-multiply: must match int8._quantize_act
-        # bit for bit so the swapped-in kernel stays byte-identical.
-        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        # Reciprocal-multiply with the same host-f32 reciprocal as
+        # int8._quantize_act — bit-deterministic on every backend (division
+        # gets reciprocal-approximated differently per backend).
+        return jnp.clip(jnp.round(v.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
 
     x = quant(x_ref[0])  # (S, W, Cin)
     top = quant(top_ref[0])  # (1, W, Cin)
@@ -133,10 +154,11 @@ def _dec_kernel_sep(x_ref, top_ref, bot_ref, w_ref, ws_ref, b_ref, o_ref, *, s_i
     vs 1.65 at dec3, batch 8 (docs/PERF.md round 3). A consumer must accept
     blocked layout (the fused tail kernel, models/qtail.py)."""
     s = pl.program_id(1)
-    scale = jnp.float32(s_in)
+    inv = jnp.float32(np.float32(1.0) / np.float32(s_in))
 
     def quant(v):
-        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        # Same reciprocal-multiply contract as int8._quantize_act.
+        return jnp.clip(jnp.round(v.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
 
     x = quant(x_ref[0])
     top = quant(top_ref[0])

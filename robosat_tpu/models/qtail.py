@@ -35,6 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from robosat_tpu.models.qdec import round_to
 from robosat_tpu.ops.head import _digitize_exact
 
 
@@ -64,10 +65,15 @@ def _conv3x3_strip(q_ext, w_taps, ws_scaled, rows_out, compute_dtype):
             operand, w_taps[t], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         acc = d if acc is None else acc + d
-    y = acc.astype(jnp.float32) * ws_scaled
     cout = w_taps.shape[-1]
-    # Cast THEN relu — the exact order of int8._int8_conv + _walk's relu.
-    return jax.nn.relu(y.astype(compute_dtype)).reshape(rows_out, W, cout)
+    # Round to the compute dtype's precision THEN relu — the exact order of
+    # int8._int8_conv + _walk's relu. round_to (qdec) keeps the value in f32
+    # but applies the bf16 RNE un-elidably: an astype(bf16).astype(f32) pair
+    # would be folded away inside the fused kernel, shifting the next
+    # quantization at exact .5 boundaries. The caller's o_ref store performs
+    # the final (single) conversion.
+    y = round_to(acc.astype(jnp.float32) * ws_scaled, compute_dtype)
+    return jax.nn.relu(y).reshape(rows_out, W, cout)
 
 
 def _tail_kernel(
@@ -77,14 +83,15 @@ def _tail_kernel(
     s = pl.program_id(1)
 
     def quant(v, scale):
-        # Division, not reciprocal-multiply: must match int8._quantize_act
-        # bit for bit.
-        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        # Reciprocal-multiply with the same host-f32 reciprocal as
+        # int8._quantize_act — bit-deterministic on every backend.
+        inv = jnp.float32(np.float32(1.0) / np.float32(scale))
+        return jnp.clip(jnp.round(v.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
 
     S = x_ref.shape[1]
-    x = quant(x_ref[0], jnp.float32(s4_in))  # (S, W, C)
-    top = quant(top_ref[0], jnp.float32(s4_in))  # (2, W, C)
-    bot = quant(bot_ref[0], jnp.float32(s4_in))
+    x = quant(x_ref[0], s4_in)  # (S, W, C)
+    top = quant(top_ref[0], s4_in)  # (2, W, C)
+    bot = quant(bot_ref[0], s4_in)
     # Clamped halo indices alias interior rows at the edges; zero them there
     # (SAME padding is zero). Top halo rows are [strip_start-2, strip_start);
     # only the first strip needs zeros (both rows), symmetric at the bottom.
@@ -95,7 +102,7 @@ def _tail_kernel(
 
     # dec4 over S + 2 rows (dec5 needs one halo row each side).
     y4 = _conv3x3_strip(ext4, w4_ref, s4_ref[:], S + 2, compute_dtype)
-    q5 = quant(y4, jnp.float32(s5_in))
+    q5 = quant(y4, s5_in)
     # First/last strips: dec5's halo rows beyond the image are zero. q5's
     # edge rows were computed from zero-padded dec4 input, which yields
     # relu(bias-free dequant of 0) = 0 only when taps cancel — they don't,
@@ -105,7 +112,7 @@ def _tail_kernel(
     last_bad = jnp.logical_and(s == s_strips - 1, row_idx == q5.shape[0] - 1)
     q5 = jnp.where(jnp.logical_or(first_bad, last_bad), jnp.zeros_like(q5), q5)
 
-    y5 = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype)  # (S, W, C)
+    y5 = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype)  # (S, W, C) f32, bf16-rounded
 
     # Margin head: per-parity 32-channel f32 reduce + sigmoid + digitize
     # (ops.head.fused_prediction_head_s2d_blocked without the crop — the
@@ -132,24 +139,26 @@ def _tail_features_kernel(
     s = pl.program_id(1)
 
     def quant(v, scale):
-        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        # Same reciprocal-multiply contract as int8._quantize_act.
+        inv = jnp.float32(np.float32(1.0) / np.float32(scale))
+        return jnp.clip(jnp.round(v.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
 
     S = x_ref.shape[1]
-    x = quant(x_ref[0], jnp.float32(s4_in))
-    top = quant(top_ref[0], jnp.float32(s4_in))
-    bot = quant(bot_ref[0], jnp.float32(s4_in))
+    x = quant(x_ref[0], s4_in)
+    top = quant(top_ref[0], s4_in)
+    bot = quant(bot_ref[0], s4_in)
     top = jnp.where(s == 0, jnp.zeros_like(top), top)
     bot = jnp.where(s == s_strips - 1, jnp.zeros_like(bot), bot)
 
     ext4 = jnp.concatenate([top, x, bot], axis=0)
     y4 = _conv3x3_strip(ext4, w4_ref, s4_ref[:], S + 2, compute_dtype)
-    q5 = quant(y4, jnp.float32(s5_in))
+    q5 = quant(y4, s5_in)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, q5.shape, 0)
     first_bad = jnp.logical_and(s == 0, row_idx == 0)
     last_bad = jnp.logical_and(s == s_strips - 1, row_idx == q5.shape[0] - 1)
     q5 = jnp.where(jnp.logical_or(first_bad, last_bad), jnp.zeros_like(q5), q5)
 
-    o_ref[0] = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype)
+    o_ref[0] = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype).astype(o_ref.dtype)
 
 
 def fused_tail_features(x, node4, s4, node5, s5, strip_rows=8, compute_dtype=jnp.bfloat16, interpret=False):

@@ -132,6 +132,7 @@ def make_int8_predict_step(
     host_s2d=False,
     calib_percentile=None,
     pallas_tail=None,
+    pallas_enc=False,
 ):
     """Compiled hybrid-int8 prediction (robosat_tpu.models.int8 for the
     U-Net: int8 bottleneck stacks, bf16 stem + s2d decoder; models exposing
@@ -202,7 +203,7 @@ def make_int8_predict_step(
             from robosat_tpu.models import qtail
 
             dec3, s4, s5 = q8.apply_features_int8_to_dec3(
-                qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d
+                qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d, pallas_layer1=pallas_enc
             )
             strip = max([s for s in (8, 9, 6, 4, 3, 2) if dec3.shape[1] % s == 0] or [dec3.shape[1]])
             if pallas_tail == "full":
@@ -219,7 +220,9 @@ def make_int8_predict_step(
                 )
             features = qtail.fused_tail_features(dec3, qtree["dec4"], s4, qtree["dec5"], s5, strip_rows=strip)
         else:
-            features = q8.apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d)
+            features = q8.apply_features_int8(
+                qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d, pallas_layer1=pallas_enc
+            )
         if fused_head:
             from robosat_tpu.ops.head import fused_prediction_head_s2d, fused_prediction_head_s2d_blocked
 

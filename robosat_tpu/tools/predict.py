@@ -97,6 +97,9 @@ def main(args):
     # dec4/dec5 (and with "full", the head) for the fused Pallas kernel
     # (models/qtail.py) — opt-in while the A/B on chip is pending.
     pallas_tail = model_config["common"].get("pallas_tail", None) or None
+    # pallas_enc = true runs encoder layer1 through the Pallas bottleneck
+    # kernel (models/qenc.py) — same opt-in-pending-A/B status as the tail.
+    pallas_enc = bool(model_config["common"].get("pallas_enc", False))
     use_s2d = model_config["common"].get("s2d", True)
     # Host-side 4x4 space-to-depth blocking of the input (loader workers do a
     # numpy reshape; the stem then runs as one MXU-wide conv — device-side
@@ -247,6 +250,7 @@ def main(args):
                 model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
                 host_s2d=use_host_s2d, calib_percentile=calib_percentile,
                 pallas_tail=pallas_tail if is_unet else None,
+                pallas_enc=pallas_enc and is_unet,
             )
             qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):
