@@ -3,7 +3,11 @@
 The reference exports ONNX via torch.onnx (robosat/tools/export.py). The
 TPU-native analog is jax.export: the jitted forward is lowered to StableHLO
 and serialized into a portable artifact that any StableHLO consumer (XLA
-runtimes, IREE, ...) can load — documented divergence from the ONNX format.
+runtimes, IREE, ...) can load. `--format onnx` additionally serializes the
+BN-folded U-Net as a plain ONNX ModelProto (standard Conv/Relu/MaxPool/
+Add/Concat/Resize ops, NCHW float32 — the reference's export surface) via
+the in-repo protobuf writer (robosat_tpu/utils/onnx.py), so downstream ONNX
+consumers keep working without the onnx package existing here.
 """
 
 import argparse
@@ -36,6 +40,14 @@ def add_parser(subparser):
         default="unet",
         help="model family to export (registry name: unet, deeplabv3plus, segformer)",
     )
+    parser.add_argument(
+        "--format",
+        type=str,
+        default="stablehlo",
+        choices=("stablehlo", "onnx"),
+        help="stablehlo: jax.export artifact (any graph/family); onnx: plain "
+        "ONNX ModelProto of the BN-folded logits graph (unet only)",
+    )
     parser.add_argument("model", type=str, help="path to save the serialized StableHLO model to")
 
     parser.set_defaults(func=main)
@@ -56,6 +68,22 @@ def main(args):
 
     model = get_model(getattr(args, "family", "unet"))
     params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
+
+    if getattr(args, "format", "stablehlo") == "onnx":
+        import sys
+
+        from robosat_tpu.utils.onnx import export_unet_onnx
+
+        if getattr(args, "family", "unet") != "unet":
+            sys.exit("Error: --format onnx supports the unet family (use stablehlo for others)")
+        if getattr(args, "graph", "logits") != "logits":
+            sys.exit("Error: --format onnx exports the logits graph (the fast path is StableHLO-only)")
+        folded = model.fold(params, state)
+        data = export_unet_onnx(folded, num_classes, image_size=args.image_size, batch_size=args.batch_size)
+        with open(args.model, "wb") as fp:
+            fp.write(data)
+        print("Exported ONNX ({} bytes) to {}".format(len(data), args.model))
+        return
 
     if getattr(args, "graph", "logits") == "predict":
         # The deployed inference program: uint8 tiles in, quantized
