@@ -127,10 +127,27 @@ def main():
                 x = (_normalize_s2d4(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
             else:
                 x = (normalize(raw) + salt.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
-            if dtype == "int8_pe":
-                # Pallas bottleneck kernel on encoder layer1 (models/qenc).
+            if dtype == "int8_sep":
+                # Fully parity-separated Pallas tail: separated dec3 kernel
+                # -> separated dec4+dec5 kernel -> doubly-blocked XLA head.
+                from robosat_tpu.models import qdec, qtail
+                from robosat_tpu.ops.head import fused_prediction_head_s2d_blocked_sep
+
+                cat3, s3, s4, s5 = q8.apply_features_int8_to_dec3_input(
+                    tree, scales, x, compute_dtype=jnp.bfloat16, blocked=blocked
+                )
+                dec3_sep = qdec.parity_up_conv_separated(cat3, tree["dec3"], s3)
+                feats = qtail.fused_tail_features_sep(dec3_sep, tree["dec4"], s4, tree["dec5"], s5)
+                quantized = fused_prediction_head_s2d_blocked_sep(
+                    feats, tree["final"]["w"], tree["final"]["b"], overlap=overlap
+                )
+                return jnp.sum(quantized.astype(jnp.int32))
+            if dtype in ("int8_pe", "int8_pea"):
+                # Pallas bottleneck kernels on the encoder (models/qenc):
+                # pe = layer1 only, pea = all four stages.
                 features = q8.apply_features_int8(
-                    tree, scales, x, compute_dtype=jnp.bfloat16, blocked=blocked, pallas_layer1=True
+                    tree, scales, x, compute_dtype=jnp.bfloat16, blocked=blocked,
+                    pallas_layer1="all" if dtype == "int8_pea" else True,
                 )
             elif dtype in ("int8_pt", "int8_ptf"):
                 from robosat_tpu.models import qtail
@@ -199,7 +216,9 @@ def main():
     if os.environ.get("BENCH_PALLAS"):
         cells += [
             ("int8_pe", "blocked", headline_batch),
+            ("int8_pea", "blocked", headline_batch),
             ("int8_pt", "blocked", headline_batch),
+            ("int8_sep", "blocked", headline_batch),
             ("int8_ptf", "blocked", headline_batch),
         ]
     for dtype, layout, batch in cells:

@@ -208,7 +208,7 @@ def walk_encoder(q_enc, out, conv, dilate_last_stage=False, stage_overrides=None
 
 
 def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=None,
-          pallas_layer1=False, pallas_interpret=False):
+          pallas_layer1=False, pallas_interpret=None):
     """Float stem, then bottleneck stacks and the decoder, visiting conv
     sites in a fixed order. Mirrors resnet.apply_folded + unet.decode_s2d;
     returns s2d parity-blocked decoder features.
@@ -238,21 +238,27 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=N
 
     overrides = None
     if pallas_layer1 and not float_mode:
-        # Encoder layer1 via the Pallas bottleneck kernel (models/qenc):
-        # the 64-channel intermediates stay VMEM-resident instead of
-        # lane-padding 2x in HBM (docs/PERF.md round 3 — layer1 runs
-        # ~1.4 ms vs a ~1.0 roofline under XLA). Bit-identical to the
-        # _int8_conv walk (tests/test_qenc.py).
+        # Encoder stages via the Pallas bottleneck kernels (models/qenc):
+        # the narrow intermediates stay VMEM-resident instead of lane-
+        # padding in HBM (docs/PERF.md round 3 — layer1 runs ~1.4 ms vs a
+        # ~1.0 roofline under XLA). Bit-identical to the _int8_conv walk
+        # (tests/test_qenc.py). True = layer1 only (the proven-below-peak
+        # stage); "all" = every stage (stride-2 first blocks included).
         from robosat_tpu.models import qenc as _qenc
 
-        def _layer1(stage, xx):
-            n_sites = sum(3 + ("down_conv" in qb) for qb in stage)
-            stage_scales = [sites.next_scale(xx) for _ in range(n_sites)]
-            return _qenc.apply_stage_blocks(
-                xx, stage, stage_scales, compute_dtype=compute_dtype, interpret=pallas_interpret
-            )
+        def _stage_fn(si):
+            def run(stage, xx):
+                n_sites = sum(3 + ("down_conv" in qb) for qb in stage)
+                stage_scales = [sites.next_scale(xx) for _ in range(n_sites)]
+                return _qenc.apply_stage_blocks(
+                    xx, stage, stage_scales, first_stride=2 if si else 1,
+                    compute_dtype=compute_dtype, interpret=pallas_interpret,
+                )
 
-        overrides = {0: _layer1}
+            return run
+
+        stages = (0, 1, 2, 3) if pallas_layer1 == "all" else (0,)
+        overrides = {si: _stage_fn(si) for si in stages}
     enc1, enc2, enc3, enc4 = walk_encoder(q["encoder"], out, conv, stage_overrides=overrides)
 
     def up_block(name, xx):
@@ -277,7 +283,10 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=N
     dec0 = up_block("dec0", jnp.concatenate([enc4, center], axis=-1))
     dec1 = up_block("dec1", jnp.concatenate([enc3, dec0], axis=-1))
     dec2 = up_block("dec2", jnp.concatenate([enc2, dec1], axis=-1))
-    dec3 = up_block("dec3", jnp.concatenate([enc1, dec2], axis=-1))
+    cat3 = jnp.concatenate([enc1, dec2], axis=-1)
+    if stop_at == "dec3_in":
+        return cat3
+    dec3 = up_block("dec3", cat3)
     if stop_at == "dec3":
         return dec3
     dec4 = s2d_block("dec4", s2d_up_conv3x3_kernel, dec3)
@@ -297,7 +306,7 @@ def calibration_amaxes(folded, x, compute_dtype=jnp.float32, blocked=False, perc
 
 
 def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False,
-                        pallas_layer1=False, pallas_interpret=False):
+                        pallas_layer1=False, pallas_interpret=None):
     """Hybrid int8 forward to s2d decoder features: float stem -> int8
     bottleneck stacks -> int8 decoder (rewritten kernel forms). `scales` is
     a host float sequence (amax/127 per conv site, calibration order);
@@ -312,7 +321,7 @@ def apply_features_int8(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=Fa
 
 
 def apply_features_int8_to_dec3(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False,
-                                pallas_layer1=False, pallas_interpret=False):
+                                pallas_layer1=False, pallas_interpret=None):
     """The int8 walk stopped at dec3: returns (dec3 activations, s4, s5) —
     the last two calibration scales left for a fused Pallas tail
     (robosat_tpu.models.qtail) to consume in-kernel."""
@@ -322,6 +331,21 @@ def apply_features_int8_to_dec3(qtree, scales, x, compute_dtype=jnp.bfloat16, bl
                  pallas_layer1=pallas_layer1, pallas_interpret=pallas_interpret)
     assert sites.idx == len(scales) - 2, "dec4/dec5 scales must remain for the fused tail"
     return dec3, scales[-2], scales[-1]
+
+
+def apply_features_int8_to_dec3_input(qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=False,
+                                      pallas_layer1=False, pallas_interpret=None):
+    """The int8 walk stopped BEFORE dec3: returns (concat(enc1, dec2), s3,
+    s4, s5) — dec3 then runs as the parity-separated Pallas kernel
+    (qdec.parity_up_conv_separated) feeding the separated fused tail
+    (qtail.fused_tail_features_sep), so dec3's fine-grid interleave never
+    materializes."""
+    scales = list(scales)
+    sites = _Sites(scales=scales)
+    cat3 = _walk(qtree, x, sites, compute_dtype, blocked=blocked, stop_at="dec3_in",
+                 pallas_layer1=pallas_layer1, pallas_interpret=pallas_interpret)
+    assert sites.idx == len(scales) - 3, "dec3/dec4/dec5 scales must remain for the separated tail"
+    return cat3, scales[-3], scales[-2], scales[-1]
 
 
 def scales_from_amaxes(amaxes, margin=1.0):

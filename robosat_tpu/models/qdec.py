@@ -41,6 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 # in increasing coarse-offset order (see module docstring derivation).
 _PARITY_TAPS = {0: ((-1, 0), (0, 2)), 1: ((0, 1), (1, 3))}  # parity -> (offsets, k4 rows)
 
+def _auto_interpret(interpret):
+    """Pallas compiles for TPU only; default to interpret elsewhere (tests
+    and tool-level CPU runs exercise the same code path)."""
+    return jax.default_backend() != "tpu" if interpret is None else interpret
+
+
 
 def round_to(v32, dtype):
     """Round f32 to `dtype`'s precision IN f32, without a convert pair the
@@ -190,7 +196,7 @@ def _dec_kernel_sep(x_ref, top_ref, bot_ref, w_ref, ws_ref, b_ref, o_ref, *, s_i
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
-def parity_up_conv_separated(x, node, s_in, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=False):
+def parity_up_conv_separated(x, node, s_in, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=None):
     """parity_up_conv with space-to-depth2 (channel-grouped parity) output:
     (N, H, W, Cin) -> (N, H, W, 4*Cout), bit-identical to
     layers.space_to_depth2(parity_up_conv(...))."""
@@ -233,11 +239,11 @@ def parity_up_conv_separated(x, node, s_in, strip_rows=None, compute_dtype=jnp.b
             bytes_accessed=x.size * x.dtype.itemsize + n * 4 * h * w * cout * 2,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(x, x, x, wp, ws, bias)
 
 
-def parity_up_conv(x, node, s_in, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=False):
+def parity_up_conv(x, node, s_in, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=None):
     """Pallas transposed-conv up_block: bf16 x (N, H, W, Cin) -> relu'd
     (N, 2H, 2W, Cout), bit-identical to models.int8._int8_conv with
     padding (2,2) / lhs_dilation (2,2) on node's 4x4 int8 kernel.
@@ -285,5 +291,5 @@ def parity_up_conv(x, node, s_in, strip_rows=None, compute_dtype=jnp.bfloat16, i
             bytes_accessed=x.size * x.dtype.itemsize + n * 4 * h * w * cout * 2,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(x, x, x, wp, ws, bias)

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from robosat_tpu.models.qdec import round_to
+from robosat_tpu.models.qdec import _auto_interpret, round_to
 
 
 def _shift_cols(x, offset):
@@ -120,7 +120,7 @@ def _block_kernel(
     o_ref[0] = jax.nn.relu(inner + shortcut).reshape(S, W, cout).astype(o_ref.dtype)
 
 
-def bottleneck_block(x, qb, s1, s2, s3, sd=None, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=False):
+def bottleneck_block(x, qb, s1, s2, s3, sd=None, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=None):
     """One stride-1 int8 bottleneck block, bit-identical to
 
         inner = relu(_int8_conv(qb["conv1"], x, s1))
@@ -213,18 +213,174 @@ def bottleneck_block(x, qb, s1, s2, s3, sd=None, strip_rows=None, compute_dtype=
             bytes_accessed=x.size * x.dtype.itemsize + n * h * w * cout * 2,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(*args)
 
 
-def apply_stage_blocks(x, stage, scales, compute_dtype=jnp.bfloat16, interpret=False):
-    """Run a whole stride-1 stage (e.g. layer1) block by block; `scales` is
-    the flat per-site scale list in walk_encoder order (conv1, conv2, conv3,
-    down_conv when present)."""
+def _even_rows(x, parity):
+    """(2R[+pad], W, C) -> rows of the given parity via reshape + static
+    slice (no strided loads for Mosaic to trip on). Input must have an even
+    row count; returns R rows."""
+    r2, w, c = x.shape
+    return x.reshape(r2 // 2, 2, w, c)[:, parity]
+
+
+def _even_cols(x, parity):
+    """(R, 2W, C) -> columns of the given parity (reshape + static slice)."""
+    r, w2, c = x.shape
+    return x.reshape(r, w2 // 2, 2, c)[:, :, parity]
+
+
+def _block_s2_kernel(
+    x_ref, top_ref,
+    w1_ref, e1_ref, b1_ref, w2_ref, e2_ref, b2_ref, w3_ref, e3_ref, b3_ref, wd_ref, ed_ref, bd_ref,
+    o_ref,
+    *, s1, s2, s3, sd, s_strips, compute_dtype,
+):
+    """Stride-2 bottleneck block (layers 2-4 first blocks): conv1 1x1 ->
+    conv2 3x3 stride 2 (torch pads (1,1)) -> conv3 1x1, plus the stride-2
+    down projection. Output strip of So rows consumes input rows
+    [2*o0 - 1, 2*o0 + 2*So): one top halo row, no bottom halo (the stride-2
+    window never reaches past the last input row of the strip)."""
+    s = pl.program_id(1)
+
+    x = x_ref[0]  # (2*So, W, Cin)
+    top = top_ref[0]  # (1, W, Cin) fine row 2*o0 - 1 (clamped at the image top)
+    r2, W, cin = x.shape
+    So = r2 // 2
+    Wo = W // 2
+
+    q1 = _quant(jnp.concatenate([top, x], axis=0), s1)  # (2*So + 1, W, Cin)
+    h1 = _matmul_i8(q1.reshape((r2 + 1) * W, cin), w1_ref[:], e1_ref[:], b1_ref[:], compute_dtype, relu=True)
+    cmid = w1_ref.shape[-1]
+    h1 = h1.reshape(r2 + 1, W, cmid)
+
+    # conv2's SAME-zero padding applies to its INPUT h1: the halo row is
+    # fine row -1 on the first strip (conv1(0) != 0 — folded bias), zero it.
+    q2 = _quant(h1, s2)
+    row0 = jnp.where(s == 0, jnp.zeros_like(q2[:1]), q2[:1])
+    q2 = jnp.concatenate([row0, q2[1:], jnp.zeros_like(q2[:1])], axis=0)  # pad to 2*So + 2 rows
+    # Row taps a in {0,1,2} relative to q2 row 0 (fine 2*o0 - 1): output row
+    # r reads q2[2r + a]. Even/odd row planes via reshape (q2 now has an
+    # even row count); col taps select even columns of the col-shifted
+    # copies the same way.
+    even = _even_rows(q2, 0)  # rows 0, 2, ... (taps a=0 at [r], a=2 at [r+1])
+    odd = _even_rows(q2, 1)  # rows 1, 3, ... (tap a=1 at [r])
+    acc = None
+    for t, (a, b) in enumerate([(a, b) for a in (0, 1, 2) for b in (-1, 0, 1)]):
+        rows = even[a // 2 : a // 2 + So] if a != 1 else odd[:So]
+        operand = _even_cols(_shift_cols(rows, b), 0).reshape(So * Wo, cmid)
+        d = jax.lax.dot_general(operand, w2_ref[t], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    h2 = jax.nn.relu(round_to(acc.astype(jnp.float32) * e2_ref[:] + b2_ref[:], compute_dtype))
+
+    q3 = _quant(h2, s3)
+    inner = _matmul_i8(q3, w3_ref[:], e3_ref[:], b3_ref[:], compute_dtype, relu=False)
+    cout = w3_ref.shape[-1]
+
+    # Stride-2 projection reads the even rows/cols of the strip.
+    xd = _even_cols(_even_rows(x, 0), 0)  # (So, Wo, Cin)
+    qd = _quant(xd, sd).reshape(So * Wo, cin)
+    shortcut = _matmul_i8(qd, wd_ref[:], ed_ref[:], bd_ref[:], compute_dtype, relu=False)
+
+    o_ref[0] = jax.nn.relu(inner + shortcut).reshape(So, Wo, cout).astype(o_ref.dtype)
+
+
+def bottleneck_block_s2(x, qb, s1, s2, s3, sd, strip_rows=None, compute_dtype=jnp.bfloat16, interpret=None):
+    """One stride-2 int8 bottleneck block (always carries the down
+    projection), bit-identical to walk_encoder's stride-2 case:
+
+        inner = relu(_int8_conv(qb["conv1"], x, s1))
+        inner = relu(_int8_conv(qb["conv2"], inner, s2, stride=2, padding=((1,1),(1,1))))
+        inner = _int8_conv(qb["conv3"], inner, s3)
+        relu(inner + _int8_conv(qb["down_conv"], x, sd, stride=2))
+
+    `x` is (N, H, W, Cin), output (N, H/2, W/2, Cout)."""
+    n, h, w, cin = x.shape
+    assert h % 2 == 0 and w % 2 == 0, "stride-2 block needs even spatial dims"
+    assert "down_conv" in qb, "stride-2 bottlenecks always project"
+    ho = h // 2
+    cmid = qb["conv1"]["wq"].shape[-1]
+    cout = qb["conv3"]["wq"].shape[-1]
+    So = strip_rows or max([s for s in (8, 9, 6, 4, 3, 2) if ho % s == 0] or [ho])
+    assert ho % So == 0, "strip_rows must divide H/2"
+    strips = ho // So
+
+    def node_args(node, scale):
+        wq = jnp.asarray(node["wq"])
+        wq = wq.reshape(wq.shape[-2], wq.shape[-1]) if wq.ndim == 4 and wq.shape[0] == 1 else wq
+        ws = (node["ws"].astype(jnp.float32) * jnp.float32(scale)).reshape(1, -1)
+        b = jnp.asarray(node["b"], jnp.float32).reshape(1, -1) if "b" in node else jnp.zeros_like(ws)
+        return wq, ws, b
+
+    w1, e1, b1 = node_args(qb["conv1"], s1)
+    w2q = jnp.asarray(qb["conv2"]["wq"]).reshape(9, cmid, cmid)
+    e2 = (qb["conv2"]["ws"].astype(jnp.float32) * jnp.float32(s2)).reshape(1, cmid)
+    b2 = (
+        jnp.asarray(qb["conv2"]["b"], jnp.float32).reshape(1, cmid)
+        if "b" in qb["conv2"]
+        else jnp.zeros((1, cmid), jnp.float32)
+    )
+    w3, e3, b3 = node_args(qb["conv3"], s3)
+    wd, ed, bd = node_args(qb["down_conv"], sd)
+
+    kernel = functools.partial(
+        _block_s2_kernel,
+        s1=float(s1), s2=float(s2), s3=float(s3), sd=float(sd), s_strips=strips, compute_dtype=compute_dtype,
+    )
+
+    def top_map(i, s, So=So):
+        return (i, jnp.maximum(2 * s * So - 1, 0), 0, 0)
+
+    def rep2(i, s):
+        return (0, 0)
+
+    wo = w // 2
+    flops = 2 * n * (h * w * cin * cmid + ho * wo * (9 * cmid * cmid + cmid * cout + cin * cout))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, ho, w // 2, cout), compute_dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n, strips),
+            in_specs=[
+                pl.BlockSpec((1, 2 * So, w, cin), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, w, cin), top_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((cin, cmid), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cmid), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cmid), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, cmid, cmid), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cmid), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cmid), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((cmid, cout), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((cin, cout), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), rep2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), rep2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, So, w // 2, cout), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize + n * ho * wo * cout * 2,
+            transcendentals=0,
+        ),
+        interpret=_auto_interpret(interpret),
+    )(x, x, w1, e1, b1, w2q, e2, b2, w3, e3, b3, wd, ed, bd)
+
+
+def apply_stage_blocks(x, stage, scales, first_stride=1, compute_dtype=jnp.bfloat16, interpret=None):
+    """Run a whole stage block by block; `scales` is the flat per-site scale
+    list in walk_encoder order (conv1, conv2, conv3, down_conv when
+    present). `first_stride=2` runs block 0 as the stride-2 kernel (layers
+    2-4); remaining blocks are always stride 1."""
     it = iter(scales)
     out = x
-    for qb in stage:
+    for bi, qb in enumerate(stage):
         s1, s2, s3 = next(it), next(it), next(it)
         sd = next(it) if "down_conv" in qb else None
-        out = bottleneck_block(out, qb, s1, s2, s3, sd=sd, compute_dtype=compute_dtype, interpret=interpret)
+        if bi == 0 and first_stride == 2:
+            out = bottleneck_block_s2(out, qb, s1, s2, s3, sd, compute_dtype=compute_dtype, interpret=interpret)
+        else:
+            out = bottleneck_block(out, qb, s1, s2, s3, sd=sd, compute_dtype=compute_dtype, interpret=interpret)
     return out

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from robosat_tpu.models.qdec import round_to
+from robosat_tpu.models.qdec import _auto_interpret, round_to
 from robosat_tpu.ops.head import _digitize_exact
 
 
@@ -161,7 +161,7 @@ def _tail_features_kernel(
     o_ref[0] = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype).astype(o_ref.dtype)
 
 
-def fused_tail_features(x, node4, s4, node5, s5, strip_rows=8, compute_dtype=jnp.bfloat16, interpret=False):
+def fused_tail_features(x, node4, s4, node5, s5, strip_rows=8, compute_dtype=jnp.bfloat16, interpret=None):
     """dec3 activations (N, H, W, 128) bf16 -> dec5 activations (N, H, W,
     128), matching
 
@@ -214,7 +214,7 @@ def fused_tail_features(x, node4, s4, node5, s5, strip_rows=8, compute_dtype=jnp
             bytes_accessed=x.size * x.dtype.itemsize + n * h * w * c * 2,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(x, x, x, w4, ws4, w5, ws5)
 
 
@@ -223,8 +223,157 @@ def tap_weights(wq):
     return jnp.asarray(wq).reshape(9, wq.shape[2], wq.shape[3])
 
 
+# ---------------------------------------------------------------------------
+# Parity-SEPARATED tail: consumes dec3 in space-to-depth2 layout
+# ---------------------------------------------------------------------------
+
+
+def _sep_conv3x3(shifted, w_ref, ws_scaled, row_lo_off, rows_out, Wc, cin, compute_dtype):
+    """The four fine-parity outputs of a 3x3 SAME conv over a fine grid held
+    as parity planes.
+
+    `shifted[(p, sc)]` is parity plane p (fine position (2i + p//2,
+    2j + p%2)) column-shifted by `sc` coarse columns with zero fill; planes
+    span coarse rows [row_lo, row_lo + R). The output for fine parity
+    q = (qr, qc) at coarse row k (absolute coarse row row_lo + row_lo_off
+    + k) decomposes per tap (a, b) into plane (qr+a)&1 / (qc+b)&1 at coarse
+    shift ((qr+a)>>1, (qc+b)>>1) — 9 dense int8 matmuls per parity, no
+    dilation, no interleave. Returns {(qr, qc): (rows_out, Wc, Cout) f32
+    rounded to compute_dtype} (qdec.round_to keeps the RNE un-elidable)."""
+    outs = {}
+    for qr in (0, 1):
+        for qc in (0, 1):
+            acc = None
+            for a in (-1, 0, 1):
+                pr, sr = (qr + a) & 1, (qr + a) >> 1
+                for b in (-1, 0, 1):
+                    pc, sc = (qc + b) & 1, (qc + b) >> 1
+                    lo = row_lo_off + sr
+                    operand = shifted[(2 * pr + pc, sc)][lo : lo + rows_out].reshape(rows_out * Wc, cin)
+                    d = jax.lax.dot_general(
+                        operand, w_ref[3 * (a + 1) + (b + 1)], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = d if acc is None else acc + d
+            y = round_to(acc.astype(jnp.float32) * ws_scaled, compute_dtype)
+            outs[(qr, qc)] = jax.nn.relu(y).reshape(rows_out, Wc, -1)
+    return outs
+
+
+def _tail_features_sep_kernel(
+    x_ref, top_ref, bot_ref, w4_ref, s4_ref, w5_ref, s5_ref, o_ref, *, s4_in, s5_in, s_strips, compute_dtype
+):
+    """dec4 + dec5 over a SEPARATED strip: input and output are parity
+    planes (space_to_depth2 of the 288-grid, channels [p*128, (p+1)*128)).
+    The fine-grid rows never materialize — each conv runs as the 4x9 plane
+    matmuls of _sep_conv3x3 — so the ~0.9 ms in-VMEM parity interleave the
+    interleaved dec3 kernel pays (docs/PERF.md round 3) does not exist on
+    this path."""
+    s = pl.program_id(1)
+
+    def quant(v, scale):
+        # Same reciprocal-multiply contract as int8._quantize_act.
+        inv = jnp.float32(np.float32(1.0) / np.float32(scale))
+        return jnp.clip(jnp.round(v.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+
+    Sc = x_ref.shape[1]
+    x = quant(x_ref[0], s4_in)  # (Sc, Wc, 4C)
+    top = quant(top_ref[0], s4_in)  # (2, Wc, 4C) coarse halo rows
+    bot = quant(bot_ref[0], s4_in)
+    # Out-of-image halos (clamped block maps alias interior rows): dec4's
+    # SAME padding is zero beyond the fine image, which in coarse rows is
+    # exactly the first/last strip's halo block.
+    top = jnp.where(s == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(s == s_strips - 1, jnp.zeros_like(bot), bot)
+
+    ext = jnp.concatenate([top, x, bot], axis=0)  # (Sc+4, Wc, 4C)
+    Wc = ext.shape[1]
+    C = ext.shape[-1] // 4
+
+    shifted4 = {
+        (p, sc): _shift_cols(ext[:, :, p * C : (p + 1) * C], sc) for p in range(4) for sc in (-1, 0, 1)
+    }
+    # dec4 over coarse rows [strip-1, strip+Sc+1): one halo row each side for
+    # dec5. ext row 0 is absolute coarse strip-2, so row_lo_off = 1.
+    y4 = _sep_conv3x3(shifted4, w4_ref, s4_ref[:], 1, Sc + 2, Wc, C, compute_dtype)
+
+    # dec5's SAME padding: the fine rows beyond the image are zero, but y4's
+    # out-of-image coarse rows were computed from zero-padded INPUT and are
+    # nonzero dec4 outputs — replace them (coarse row strip-1 covers fine
+    # rows -2/-1 on the first strip; symmetric at the bottom).
+    q5 = {}
+    for key, y in y4.items():
+        q = quant(y, s5_in)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+        first_bad = jnp.logical_and(s == 0, row_idx == 0)
+        last_bad = jnp.logical_and(s == s_strips - 1, row_idx == q.shape[0] - 1)
+        q5[key] = jnp.where(jnp.logical_or(first_bad, last_bad), jnp.zeros_like(q), q)
+
+    shifted5 = {
+        (2 * qr + qc, sc): _shift_cols(q5[(qr, qc)], sc)
+        for qr in (0, 1)
+        for qc in (0, 1)
+        for sc in (-1, 0, 1)
+    }
+    y5 = _sep_conv3x3(shifted5, w5_ref, s5_ref[:], 1, Sc, Wc, C, compute_dtype)
+    o_ref[0] = jnp.concatenate([y5[(0, 0)], y5[(0, 1)], y5[(1, 0)], y5[(1, 1)]], axis=-1).astype(o_ref.dtype)
+
+
+def fused_tail_features_sep(x, node4, s4, node5, s5, strip_rows=4, compute_dtype=jnp.bfloat16, interpret=None):
+    """`fused_tail_features` on space-to-depth2 layout end to end:
+    (N, Hc, Wc, 512) separated dec3 (qdec.parity_up_conv_separated) ->
+    (N, Hc, Wc, 512) separated dec5 activations, bit-identical to
+    space_to_depth2(fused_tail_features(depth_to_space2-input)). The caller
+    applies ops.head.fused_prediction_head_s2d_blocked_sep."""
+    n, hc, wc, c4 = x.shape
+    assert c4 == 512 and node4["wq"].shape[-1] == 128 and node5["wq"].shape[-1] == 128
+    Sc = strip_rows
+    assert Sc % 2 == 0, "halo block maps index in 2-coarse-row blocks"
+    assert hc % Sc == 0, "strip_rows must divide the coarse height"
+    strips = hc // Sc
+
+    w4 = tap_weights(node4["wq"])
+    ws4 = (node4["ws"].astype(jnp.float32) * jnp.float32(s4)).reshape(1, 128)
+    w5 = tap_weights(node5["wq"])
+    ws5 = (node5["ws"].astype(jnp.float32) * jnp.float32(s5)).reshape(1, 128)
+
+    kernel = functools.partial(
+        _tail_features_sep_kernel, s4_in=float(s4), s5_in=float(s5), s_strips=strips, compute_dtype=compute_dtype
+    )
+
+    def top_map(i, s, S=Sc):
+        return (i, jnp.maximum(s * S - 2, 0) // 2, 0, 0)
+
+    def bot_map(i, s, S=Sc, hc=hc):
+        return (i, jnp.minimum((s + 1) * S, hc - 2) // 2, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, hc, wc, c4), compute_dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n, strips),
+            in_specs=[
+                pl.BlockSpec((1, Sc, wc, c4), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, wc, c4), top_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, wc, c4), bot_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, 128, 128), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, 128, 128), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, Sc, wc, c4), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * (4 * hc * wc) * 9 * 128 * 128,
+            bytes_accessed=x.size * x.dtype.itemsize + n * hc * wc * c4 * 2,
+            transcendentals=0,
+        ),
+        interpret=_auto_interpret(interpret),
+    )(x, x, x, w4, ws4, w5, ws5)
+
+
 def fused_tail(
-    x, node4, s4, node5, s5, w_final, b_final, overlap=0, strip_rows=8, compute_dtype=jnp.bfloat16, interpret=False
+    x, node4, s4, node5, s5, w_final, b_final, overlap=0, strip_rows=8, compute_dtype=jnp.bfloat16, interpret=None
 ):
     """dec3 activations (N, H, W, 128) bf16 -> parity-blocked quantized
     uint8 (N, H - overlap, W - overlap, 4), matching
@@ -286,7 +435,7 @@ def fused_tail(
             bytes_accessed=x.size * x.dtype.itemsize + n * h * w * 4,
             transcendentals=n * h * w * 4,
         ),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(x, x, x, w4, ws4, w5, ws5, wm, bm)
 
     out = out.reshape(n, h, w, 4)

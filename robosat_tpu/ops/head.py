@@ -147,6 +147,38 @@ def fused_prediction_head_s2d_blocked(features, w, b, overlap=0):
     return _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
 
 
+def fused_prediction_head_s2d_blocked_sep(features, w, b, overlap=0):
+    """`fused_prediction_head_s2d_blocked` on doubly-blocked features.
+
+    `features` is the SEPARATED tail output (robosat_tpu.models.qtail.
+    fused_tail_features_sep): (N, Hc, Wc, 512) where channel p288*128 + c
+    holds the s2d feature channel c at 288-grid parity p288 of coarse pixel
+    — i.e. space_to_depth2 of the (N, 2Hc, 2Wc, 128) blocked features. The
+    margin dot is block-diagonal over 16 blocks of 32 channels; outputs
+    (N, Hc - overlap/2, Wc - overlap/2, 16) uint8 with channel
+    p288*4 + p576. The host writer interleaves with two depth_to_space2
+    passes. Margin values are bit-identical to the unblocked heads."""
+    n, h, w_, c16 = features.shape
+    cin = c16 // 16
+    w2 = jnp.asarray(w).reshape(cin, -1)
+    assert w2.shape[1] == 2, "fused head requires a binary model"
+    assert overlap % 4 == 0, "doubly-blocked head crops on the coarse-coarse grid"
+    b2 = jnp.asarray(b).reshape(2)
+
+    wm = (w2[:, 1] - w2[:, 0]).astype(jnp.float32)
+    bm = (b2[1] - b2[0]).astype(jnp.float32)
+
+    o = overlap // 4
+    if o:
+        features = features[:, o:-o, o:-o, :]
+    wblock = jnp.kron(jnp.eye(16, dtype=jnp.float32), wm.reshape(cin, 1))  # (16C, 16)
+    margin = (
+        jnp.einsum("nhwc,cp->nhwp", features.astype(jnp.float32), wblock, precision=jax.lax.Precision.HIGHEST)
+        + bm
+    )
+    return _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Pallas variant (negative result, kept for the record + as a Mosaic example)
 # ---------------------------------------------------------------------------

@@ -191,9 +191,30 @@ def make_int8_predict_step(
     blocked_out = host_s2d and fused_head and overlap % 2 == 0
     if pallas_tail and not blocked_out:
         raise ValueError("pallas_tail requires host_s2d + fused_head with an even overlap")
+    if pallas_tail == "sep" and overlap % 4:
+        raise ValueError("pallas_tail='sep' crops on the coarse-coarse grid: overlap must be a multiple of 4")
 
     def step(qtree, raw):
         x = norm(raw).astype(jnp.bfloat16)
+        if pallas_tail == "sep":
+            # Fully parity-SEPARATED Pallas tail: dec3 runs as the
+            # separated-output transposed-conv kernel (the form that beats
+            # XLA — docs/PERF.md round 3), dec4 + dec5 consume and emit
+            # parity planes (qtail.fused_tail_features_sep), and the head
+            # reduces the doubly-blocked layout; the ~0.9 ms in-VMEM parity
+            # interleave never happens. The host writer interleaves the
+            # 16-channel uint8 with two depth_to_space2 passes.
+            from robosat_tpu.models import qdec, qtail
+            from robosat_tpu.ops.head import fused_prediction_head_s2d_blocked_sep
+
+            cat3, s3, s4, s5 = q8.apply_features_int8_to_dec3_input(
+                qtree, scales, x, compute_dtype=jnp.bfloat16, blocked=host_s2d, pallas_layer1=pallas_enc
+            )
+            dec3_sep = qdec.parity_up_conv_separated(cat3, qtree["dec3"], s3)
+            feats = qtail.fused_tail_features_sep(dec3_sep, qtree["dec4"], s4, qtree["dec5"], s5)
+            return fused_prediction_head_s2d_blocked_sep(
+                feats, qtree["final"]["w"], qtree["final"]["b"], overlap=overlap
+            )
         if pallas_tail:
             # Fused Pallas tail (models/qtail.py): dec4 + dec5 (and with
             # "full", the head too) VMEM-resident per strip instead of the

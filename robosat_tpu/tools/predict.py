@@ -93,13 +93,15 @@ def main(args):
     # scales keep outlier activations from wasting the int8 range.
     calib = model_config["common"].get("int8_calibration", "amax")
     calib_percentile = None if calib in ("amax", None) else float(calib)
-    # pallas_tail = "tail" | "full" in the model TOML swaps the int8 U-Net's
-    # dec4/dec5 (and with "full", the head) for the fused Pallas kernel
-    # (models/qtail.py) — opt-in while the A/B on chip is pending.
+    # pallas_tail = "tail" | "sep" | "full" in the model TOML swaps the int8
+    # U-Net's dec4/dec5 (with "sep", dec3 too, all in parity-separated
+    # layout; with "full", the head) for the fused Pallas kernels
+    # (models/{qdec,qtail}.py) — opt-in while the A/B on chip is pending.
     pallas_tail = model_config["common"].get("pallas_tail", None) or None
     # pallas_enc = true runs encoder layer1 through the Pallas bottleneck
-    # kernel (models/qenc.py) — same opt-in-pending-A/B status as the tail.
-    pallas_enc = bool(model_config["common"].get("pallas_enc", False))
+    # kernel (models/qenc.py); "all" runs every encoder stage (stride-2
+    # first blocks included) — same opt-in-pending-A/B status as the tail.
+    pallas_enc = model_config["common"].get("pallas_enc", False)
     use_s2d = model_config["common"].get("s2d", True)
     # Host-side 4x4 space-to-depth blocking of the input (loader workers do a
     # numpy reshape; the stem then runs as one MXU-wide conv — device-side
@@ -192,6 +194,13 @@ def main(args):
         # bytes — at ~900 tiles/s/chip device rate the optimizing encoder
         # would need ~160 host cores per chip. Identical pixels either way.
         optimize = getattr(args, "png_optimize", False)
+        if blocked_out and quantized.shape[-1] == 16:
+            # Doubly-blocked output (pallas_tail = "sep"): peel the 288-grid
+            # parity level on the host first; the remaining (…, 4) block goes
+            # through the standard blocked writer below.
+            from robosat_tpu.models.layers import depth_to_space2
+
+            quantized = depth_to_space2(quantized[None])[0]
         if not optimize:
             # Native C++ encoder (GIL-released); for the blocked fast path it
             # fuses the parity interleave into scanline assembly, replacing
@@ -250,7 +259,7 @@ def main(args):
                 model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
                 host_s2d=use_host_s2d, calib_percentile=calib_percentile,
                 pallas_tail=pallas_tail if is_unet else None,
-                pallas_enc=pallas_enc and is_unet,
+                pallas_enc=pallas_enc if is_unet else False,
             )
             qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):

@@ -94,6 +94,57 @@ def test_apply_stage_matches_walk_encoder():
     assert int((got != ref).sum()) == 0
 
 
+def test_bottleneck_block_s2_bit_exact():
+    """The stride-2 kernel reproduces walk_encoder's stride-2 case (torch
+    pads (1,1), stride-2 projection) bit for bit."""
+    rng = np.random.default_rng(9)
+    cin, cmid, cout, h = 32, 8, 64, 16
+    qb = {
+        "conv1": _make_node(rng, 1, 1, cin, cmid),
+        "conv2": _make_node(rng, 3, 3, cmid, cmid),
+        "conv3": _make_node(rng, 1, 1, cmid, cout),
+        "down_conv": _make_node(rng, 1, 1, cin, cout),
+    }
+    x = jnp.asarray(rng.normal(0, 1.0, (2, h, h, cin)), jnp.bfloat16)
+    s1, s2, s3, sd = 0.02, 0.015, 0.01, 0.02
+
+    inner = jax.nn.relu(q8._int8_conv(qb["conv1"], x, s1, compute_dtype=jnp.bfloat16))
+    inner = jax.nn.relu(
+        q8._int8_conv(qb["conv2"], inner, s2, stride=2, padding=((1, 1), (1, 1)), compute_dtype=jnp.bfloat16)
+    )
+    inner = q8._int8_conv(qb["conv3"], inner, s3, compute_dtype=jnp.bfloat16)
+    shortcut = q8._int8_conv(qb["down_conv"], x, sd, stride=2, compute_dtype=jnp.bfloat16)
+    ref = np.asarray(jax.nn.relu(inner + shortcut), np.float32)
+
+    got = np.asarray(
+        qenc.bottleneck_block_s2(x, qb, s1, s2, s3, sd, strip_rows=4, interpret=True), np.float32
+    )
+    assert got.shape == ref.shape
+    assert int((got != ref).sum()) == 0
+
+
+def test_walk_pallas_all_stages_matches_plain_walk():
+    """apply_features_int8(pallas_layer1='all') — every encoder stage through
+    the Pallas kernels incl. the stride-2 first blocks — reproduces the plain
+    int8 walk bit for bit."""
+    from robosat_tpu.models import unet
+
+    params, state = unet.init(0, num_classes=2)
+    folded = unet.fold(params, state)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)).astype(np.float32) / 255.0, jnp.bfloat16)
+    amaxes = np.asarray(q8.calibration_amaxes(folded, x.astype(jnp.float32)))
+    scales = tuple(q8.scales_from_amaxes(amaxes))
+    qtree = q8.quantize_unet_folded(folded)
+
+    ref = np.asarray(q8.apply_features_int8(qtree, scales, x), np.float32)
+    got = np.asarray(
+        q8.apply_features_int8(qtree, scales, x, pallas_layer1="all", pallas_interpret=True), np.float32
+    )
+    assert got.shape == ref.shape
+    assert int((got != ref).sum()) == 0
+
+
 def test_walk_pallas_layer1_matches_plain_walk():
     """apply_features_int8(pallas_layer1=True) reproduces the plain int8 walk
     bit for bit on a real quantized U-Net — the contract
