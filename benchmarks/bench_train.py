@@ -28,6 +28,7 @@ def _timed(fn, *args):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -62,7 +63,8 @@ def main():
             key = "b{}{}".format(batch, "/remat" if remat else "")
             try:
                 step = make_train_step(
-                    unet, loss_fn, optimizer, weight=weight, augment=True, remat=remat
+                    unet, loss_fn, optimizer, weight=weight, augment=True, remat=remat,
+                    compute_dtype=jnp.bfloat16,  # ship parity: config/model-unet.toml bf16=true
                 )
                 p = jax.device_put(params, device)
                 s = jax.device_put(state, device)

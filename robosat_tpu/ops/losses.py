@@ -67,9 +67,13 @@ def lovasz_loss(logits, targets):
 
     def per_sample(mask, inp):
         errors = 1.0 - (mask * 2.0 - 1.0) * inp
-        order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        labels_sorted = mask[order]
+        # One stable multi-operand sort carries the labels through the same
+        # permutation a stable argsort(-errors) would produce; vs argsort +
+        # two fancy-index gathers of the C*H*W vector this removes both
+        # gathers (and their scatter transposes in the backward pass) from
+        # the hot train step.
+        neg_sorted, labels_sorted = jax.lax.sort((-errors, mask), num_keys=1, is_stable=True)
+        errors_sorted = -neg_sorted
 
         total = jnp.sum(labels_sorted)
         inter = total - jnp.cumsum(labels_sorted)

@@ -35,6 +35,38 @@ from robosat_tpu.ops.metrics import Metrics
 from robosat_tpu.utils import plot
 
 
+def _explain_backend_failure(exc, batch_size, model_config):
+    """Turn known TPU-backend infrastructure failures into actionable errors.
+
+    Two failure classes have been observed on tunneled TPU backends (neither
+    is a graph bug — the identical program compiles and runs when retried or
+    shrunk):
+
+    - the remote compile service 500s on very large programs (seen at
+      batch 64, 512px with remat; `tpu_compile_helper subprocess exit 1`);
+    - the backend transiently poisons after a compiler crash, failing every
+      call (even device_put) with bare `INVALID_ARGUMENT: TPU backend
+      error` for a few minutes before recovering.
+    """
+    msg = str(exc)
+    if "remote_compile" in msg or "tpu_compile_helper" in msg:
+        sys.exit(
+            "Error: the TPU backend's remote compile service rejected the training program "
+            "(batch_size={}, image_size={}, remat={}). This is a backend-infrastructure failure, "
+            "not a model error: retry, lower [common] batch_size, or set remat = true in the "
+            "model config to shrink the program.\nBackend said: {}".format(
+                batch_size, model_config["common"]["image_size"],
+                model_config["common"].get("remat", False), msg.splitlines()[0][:200],
+            )
+        )
+    if "TPU backend error" in msg and "INVALID_ARGUMENT" in msg:
+        sys.exit(
+            "Error: the TPU backend is transiently failing all calls (this has been observed "
+            "for a few minutes after a backend compiler crash). Wait and retry; if it persists, "
+            "restart the TPU runtime.\nBackend said: {}".format(msg.splitlines()[0][:200])
+        )
+
+
 def add_parser(subparser):
     parser = subparser.add_parser(
         "train", help="fits the segmentation model to a dataset", formatter_class=argparse.ArgumentDefaultsHelpFormatter
@@ -172,7 +204,13 @@ def main(args):
             images, masks = batch.arrays
             rng = jax.random.fold_in(epoch_rng, step_idx)
             with jax.profiler.StepTraceAnnotation("train_step", step_num=step_idx):
-                params, state, opt_state, loss, counts = train_step(params, state, opt_state, rng, images, masks)
+                try:
+                    params, state, opt_state, loss, counts = train_step(
+                        params, state, opt_state, rng, images, masks
+                    )
+                except Exception as exc:  # noqa: BLE001 — fence infra failures with guidance
+                    _explain_backend_failure(exc, batch_size, model_config)
+                    raise
             running_loss += float(loss)
             num_samples += batch.valid
             metrics.add_counts(np.asarray(counts))

@@ -96,3 +96,27 @@ def test_features_unknown_type_in_dataset(tmp_path):
                 chunk=4,
             )
         )
+
+
+def test_train_backend_failure_fence():
+    """Known TPU-backend infrastructure failures (remote-compile 500s, the
+    transient post-crash poisoned backend) become actionable errors instead
+    of raw tracebacks; anything else passes through."""
+    from robosat_tpu.tools.train import _explain_backend_failure
+
+    cfg = {"common": {"image_size": 512, "remat": True}}
+
+    with pytest.raises(SystemExit, match="remote compile"):
+        _explain_backend_failure(
+            RuntimeError("INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: tpu_compile_helper subprocess exit code 1"),
+            64,
+            cfg,
+        )
+
+    with pytest.raises(SystemExit, match="transiently"):
+        _explain_backend_failure(
+            RuntimeError("INVALID_ARGUMENT: TPU backend error (InvalidArgument)."), 16, cfg
+        )
+
+    # Genuine graph/user errors are not swallowed.
+    assert _explain_backend_failure(ValueError("shape mismatch"), 16, cfg) is None
