@@ -39,10 +39,11 @@ def main():
     from robosat_tpu.models.layers import space_to_depth4
     from robosat_tpu.parallel.steps import make_int8_predict_step, make_predict_step
 
-    batch = 16
-    for a in sys.argv[1:]:
-        if a.startswith("--batch"):
-            batch = int(a.split("=")[1])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    batch = ap.parse_args().batch
 
     device = jax.devices()[0]
     params, state = deeplab.init(0, num_classes=2)
@@ -57,12 +58,16 @@ def main():
         raw_d = jax.device_put(raw_np, device)
 
         def run_chain(k):
-            # predict steps return uint8 planes; thread a checksum through
-            # re-put batches is impossible (step has no salt) — instead chain
-            # by fetching only the LAST result's first byte after queuing k.
+            # The steps come from make_*_predict_step and take no salt, so
+            # the dependency is threaded OUTSIDE the step: one byte of each
+            # output scatters into the next input on device (a tiny separate
+            # dispatch), making the chain truly dependent like bench.py's —
+            # steps cannot overlap — and only the last byte is fetched.
+            r = raw_d
             out = None
             for _ in range(k):
-                out = step(tree, raw_d)
+                out = step(tree, r)
+                r = raw_d.at[0, 0, 0, 0].set(out.reshape(-1)[0])
             return int(np.asarray(out).ravel()[0])
 
         run_chain(1)

@@ -35,19 +35,19 @@ def main():
     from robosat_tpu.ops.losses import get_loss
     from robosat_tpu.parallel.steps import make_train_step
 
-    batch, size, steps, loss_name, remat = 16, 512, 6, "Lovasz", False
-    dtype = jnp.bfloat16  # ship parity: config/model-unet.toml bf16=true
-    for a in sys.argv[1:]:
-        if a.startswith("--batch"):
-            batch = int(a.split("=")[1])
-        if a.startswith("--loss"):
-            loss_name = a.split("=")[1]
-        if a.startswith("--steps"):
-            steps = int(a.split("=")[1])
-        if a == "--remat":
-            remat = True
-        if a == "--fp32":
-            dtype = jnp.float32
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--loss", default="Lovasz")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--fp32", action="store_true")
+    cli = ap.parse_args()
+    batch, size, steps, loss_name, remat = cli.batch, cli.size, cli.steps, cli.loss, cli.remat
+    # ship parity: config/model-unet.toml bf16=true
+    dtype = jnp.float32 if cli.fp32 else jnp.bfloat16
 
     device = jax.devices()[0]
     params, state = unet.init(0, num_classes=2)
