@@ -231,8 +231,80 @@ def main():
             sweep[key] = {"error": str(exc)[:160]}
         print("{}: {}".format(key, sweep[key]), file=sys.stderr, flush=True)
 
+    # ---- Registry families beyond the flagship U-Net ----------------------
+    # Each cell runs the step exactly as `rs predict` ships it for that
+    # family (make_predict_step / make_int8_predict_step). Those steps take
+    # no salt operand, so the dependent chain is threaded OUTSIDE the step:
+    # one byte of each output scatters into the next input on device — the
+    # chain cannot overlap or be elided, same marginal-time math as above.
+    from robosat_tpu.models import get_model
+    from robosat_tpu.parallel.steps import make_int8_predict_step, make_predict_step
+
+    def measure_family(family, dtype, layout, batch, reps=3):
+        model = get_model(family)
+        fparams, fstate = model.init(0, num_classes=2)
+        raw = raw_fine_all[:batch]
+        blocked = layout == "blocked"
+        if blocked:
+            raw = space_to_depth4(raw)
+        if dtype == "int8":
+            fstep, ftree = make_int8_predict_step(
+                model, fparams, fstate, raw[:8], overlap=overlap, host_s2d=blocked,
+                calib_percentile=99.9,
+            )
+            ftree = jax.device_put(ftree, device)
+
+            def call(r):
+                return fstep(ftree, r)
+        else:
+            fstep = make_predict_step(
+                model, overlap=overlap, compute_dtype=jnp.bfloat16, fused_head=True, fold_bn=True,
+                host_s2d=blocked,
+            )
+            fparams_d = jax.device_put(fparams, device)
+            fstate_d = jax.device_put(fstate, device)
+
+            def call(r):
+                return fstep(fparams_d, fstate_d, r)
+
+        raw_d = jax.device_put(raw, device)
+
+        def run_chain(k):
+            r = raw_d
+            out = None
+            for _ in range(k):
+                out = call(r)
+                r = raw_d.at[0, 0, 0, 0].set(out.reshape(-1)[0])
+            return int(np.asarray(out).ravel()[0])
+
+        run_chain(2)
+        short, long_ = 2, 12
+        t_short = min(_timed(run_chain, short) for _ in range(reps))
+        t_long = min(_timed(run_chain, long_) for _ in range(reps))
+        per_batch = max((t_long - t_short) / (long_ - short), 1e-9)
+        return {"ms_per_batch": round(per_batch * 1e3, 3), "tiles_per_s": round(batch / per_batch, 1)}
+
+    family_cells = [
+        ("fast", "int8", "blocked", 8),
+        ("fast", "int8", "blocked", headline_batch),
+        ("fast", "int8", "blocked", 32),
+        ("fast", "bf16", "fine", headline_batch),
+        ("deeplabv3plus", "int8", "blocked", headline_batch),
+        ("deeplabv3plus", "bf16", "fine", headline_batch),
+        ("segformer", "int8", "blocked", headline_batch),
+        ("segformer", "bf16", "fine", headline_batch),
+    ]
+    for family, dtype, layout, batch in family_cells:
+        key = "{}/{}/{}/b{}".format(family, dtype, layout, batch)
+        try:
+            sweep[key] = measure_family(family, dtype, layout, batch)
+        except Exception as exc:  # noqa: BLE001 — a cell must not sink the headline
+            sweep[key] = {"error": str(exc)[:160]}
+        print("{}: {}".format(key, sweep[key]), file=sys.stderr, flush=True)
+
     headline = sweep["int8/blocked/b{}".format(headline_batch)]
     per_chip = headline.get("tiles_per_s", 0.0)
+    fast_cell = sweep.get("fast/int8/blocked/b{}".format(headline_batch), {})
 
     print(
         json.dumps(
@@ -241,6 +313,7 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "tiles/s/chip",
                 "vs_baseline": round(per_chip / TARGET, 4),
+                "fast_family_tiles_per_s": fast_cell.get("tiles_per_s"),
                 "sweep": sweep,
             }
         )

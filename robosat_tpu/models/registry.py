@@ -10,7 +10,7 @@ A model entry is a module-like object with:
   apply(params, state, x, train) -> (logits, new_state)
 """
 
-from robosat_tpu.models import deeplab, segformer, unet
+from robosat_tpu.models import deeplab, fastnet, segformer, unet
 
 _REGISTRY = {}
 
@@ -31,3 +31,4 @@ def get_model(name="unet"):
 register_model("unet", unet)
 register_model("deeplabv3plus", deeplab)
 register_model("segformer", segformer)
+register_model("fast", fastnet)

@@ -179,6 +179,56 @@ def fused_prediction_head_s2d_blocked_sep(features, w, b, overlap=0):
     return _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
 
 
+def fused_prediction_head_subpixel(features, w, b, overlap=0, block=4):
+    """Fused head for a learned sub-pixel (pixel-shuffle) classifier
+    (robosat_tpu.models.fastnet): coarse features (N, h, w, C) carry a 1x1
+    conv to block*block per-position class logits; for a binary model each
+    position's softmax collapses to sigmoid of a margin, so the whole head
+    is ONE dense (C, block^2) margin dot + sigmoid + digitize on the coarse
+    grid — the fine grid never exists on device.
+
+    Args:
+      features: (N, h, w, C) final decoder activations.
+      w: head kernel (1, 1, C, block^2 * 2) or (C, block^2 * 2); channel
+         layout position*2 + class (fastnet.subpixel_to_fine convention).
+      b: head bias (block^2 * 2,).
+      overlap: FINE border pixels to crop per side (must divide by block).
+
+    Returns (N, h - 2*overlap/block, w - 2*overlap/block, block^2) uint8,
+    channel = sub-pixel position; the host writer interleaves (for block=4,
+    two depth_to_space2 passes — same contract as the "sep" blocked head).
+    """
+    n, h, w_, cin = features.shape
+    p2 = block * block
+    w2 = jnp.asarray(w).reshape(cin, p2, 2)
+    b2 = jnp.asarray(b).reshape(p2, 2)
+    assert overlap % block == 0, "sub-pixel head crops on the coarse grid"
+
+    wm = (w2[:, :, 1] - w2[:, :, 0]).astype(jnp.float32)  # (C, p2)
+    bm = (b2[:, 1] - b2[:, 0]).astype(jnp.float32)  # (p2,)
+
+    o = overlap // block
+    if o:
+        features = features[:, o:-o, o:-o, :]
+    margin = (
+        jnp.einsum("nhwc,cp->nhwp", features.astype(jnp.float32), wm, precision=jax.lax.Precision.HIGHEST) + bm
+    )
+    return _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
+
+
+def interleave_subpixel_u8(blocked, block=4):
+    """(N, h, w, block^2) uint8 -> fine (N, block*h, block*w): the device-
+    side inverse of the sub-pixel channel layout (two nested 2x2 parity
+    levels for block=4 — what the host writer does with numpy for free on
+    the blocked fast path). Used by the fine-output predict contract paths
+    (bf16 and strip modes)."""
+    n, h, w, p2 = blocked.shape
+    assert p2 == block * block
+    x = blocked.reshape(n, h, w, 2, 2, 2, 2)  # (a, b, u, v)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # (n, i, a, u, j, b, v)
+    return x.reshape(n, block * h, block * w)
+
+
 # ---------------------------------------------------------------------------
 # Pallas variant (negative result, kept for the record + as a Mosaic example)
 # ---------------------------------------------------------------------------

@@ -169,13 +169,21 @@ def make_int8_predict_step(
             x = norm(raw).astype(jnp.bfloat16)
             return model.predict_quantized_int8(qtree, scales, x, overlap=overlap, blocked=host_s2d)
 
+        # Families with a sub-pixel head (fastnet) return blocked uint8
+        # (N, h, w, block^2) when fed host-blocked input and the overlap
+        # crops on their coarse grid; the host writer interleaves.
+        blocked_out_m = (
+            host_s2d
+            and getattr(model, "INT8_BLOCKED_OUT", False)
+            and overlap % getattr(model, "BLOCK", 4) == 0
+        )
         if mesh is None:
             return jax.jit(step_m), qtree
         return (
             jax.jit(
                 step_m,
                 in_shardings=(replicated(mesh), batch_sharding(mesh, 4)),
-                out_shardings=batch_sharding(mesh, 3),
+                out_shardings=batch_sharding(mesh, 4 if blocked_out_m else 3),
             ),
             qtree,
         )
@@ -431,6 +439,83 @@ def make_train_step(
     return jax.jit(
         step,
         in_shardings=(rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
+        out_shardings=(rep, rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+def make_distill_train_step(
+    model,
+    teacher_model,
+    loss_fn,
+    optimizer,
+    weight=None,
+    mesh=None,
+    compute_dtype=jnp.float32,
+    augment=True,
+    remat=False,
+    alpha=0.9,
+    temp=2.0,
+):
+    """Compiled knowledge-distillation training step (`rs train --teacher`).
+
+    The student trains against the teacher's soft class distribution plus
+    the dataset's hard labels:
+
+      loss = alpha * T^2 * KL(softmax(teacher/T) || softmax(student/T))
+           + (1 - alpha) * loss_fn(student_logits, masks)
+
+    (Hinton et al. 2015 — the T^2 factor keeps soft-target gradient
+    magnitudes comparable across temperatures.) The teacher runs BN-folded
+    and frozen (stop_gradient) INSIDE the same compiled program, so
+    augmentation crops/flips apply identically to both networks and no
+    teacher activations ever cross the host boundary. Both forwards share
+    the batch sharding; the teacher adds ~forward-only FLOPs per step.
+
+    Returns step(params, state, opt_state, teacher_folded, rng, images_u8,
+    masks) -> (params, state, opt_state, loss, counts). `teacher_folded`
+    is the teacher's BN-folded param tree (teacher_model.fold), replicated.
+
+    Purpose: training the compact `fast` family from a trained flagship
+    U-Net — the measured route to the 5k tiles/s target (docs/PERF.md).
+    Reference context: the reference trains one fixed architecture
+    (robosat/tools/train.py:69-77) and has no distillation story.
+    """
+    forward = model.apply
+    if remat:
+        forward = jax.checkpoint(forward, static_argnums=(3,))
+    t_forward = teacher_model.apply_folded
+
+    def loss_and_aux(params, state, x, masks, t_logits):
+        logits, new_state = forward(params, state, x, True)
+        logits32 = logits.astype(jnp.float32)
+        soft_t = jax.nn.softmax(t_logits / temp, axis=-1)
+        log_s = jax.nn.log_softmax(logits32 / temp, axis=-1)
+        # KL up to the teacher-entropy constant (which has zero gradient).
+        kd = -jnp.mean(jnp.sum(soft_t * log_s, axis=-1)) * (temp * temp)
+        hard = loss_fn(logits32, masks, weight)
+        return alpha * kd + (1.0 - alpha) * hard, (new_state, logits)
+
+    def step(params, state, opt_state, teacher_folded, rng, images, masks):
+        if augment:
+            images, masks = augment_batch(rng, images, masks)
+        x = normalize(images).astype(compute_dtype)
+        t_logits = jax.lax.stop_gradient(t_forward(teacher_folded, x)).astype(jnp.float32)
+
+        (loss, (new_state, logits)), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
+            params, state, x, masks, t_logits
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        counts = confusion_counts(logits, masks)
+        return new_params, new_state, new_opt_state, loss, counts
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
         out_shardings=(rep, rep, rep, rep, rep),
         donate_argnums=(0, 1, 2),
     )

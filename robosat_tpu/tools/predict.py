@@ -107,12 +107,16 @@ def main(args):
     # numpy reshape; the stem then runs as one MXU-wide conv — device-side
     # uint8 transposes cost ~1 ms/batch). U-Net s2d path, per-tile mode only.
     buffered_side = args.tile_size + 2 * args.overlap
-    if is_unet and buffered_side % 64:
-        # The U-Net center block pools enc4 2x and upsamples back for the
-        # concat (robosat/unet.py:99-127): the buffered side must keep
-        # side/32 even or the skip shapes misalign.
+    # The U-Net center block pools enc4 2x and upsamples back for the concat
+    # (robosat/unet.py:99-127): the buffered side must keep side/32 even or
+    # the skip shapes misalign. Other families declare their own multiple
+    # (e.g. fastnet's /4 stem + three /2 stages need 32).
+    side_multiple = 64 if is_unet else getattr(model, "SIDE_MULTIPLE", 1)
+    if buffered_side % side_multiple:
         sys.exit(
-            "Error: tile_size + 2*overlap must be a multiple of 64 (got {})".format(buffered_side)
+            "Error: tile_size + 2*overlap must be a multiple of {} (got {})".format(
+                side_multiple, buffered_side
+            )
         )
     use_host_s2d = (
         model_config["common"].get("host_s2d", True)
@@ -171,13 +175,17 @@ def main(args):
     state = replicate(mesh, state)
 
     # The host-blocked fast path returns the quantized output parity-blocked
-    # (N, size/2, size/2, 4); the writer pool interleaves it back to the fine
-    # grid (2 MB of numpy byte shuffling per batch, overlapped with device
-    # compute — the same transposes cost ~0.6 ms/batch on device).
-    # DeepLab's int8 path takes blocked INPUT but emits fine uint8 (its
-    # margin head upsamples from 1/4 resolution), so blocked_out is
-    # U-Net-only.
-    blocked_out = use_host_s2d and is_unet and args.overlap % 2 == 0
+    # — (N, size/2, size/2, 4) for the U-Net's s2d tail, (N, size/4, size/4,
+    # 16) for families with a sub-pixel head that declare INT8_BLOCKED_OUT
+    # (fastnet) — and the writer pool interleaves it back to the fine grid
+    # (2 MB of numpy byte shuffling per batch, overlapped with device
+    # compute; the same transposes cost ~0.6 ms/batch on device). DeepLab's
+    # int8 path takes blocked INPUT but emits fine uint8 (its margin head
+    # upsamples from 1/4 resolution), so it stays unblocked.
+    blocked_out = use_host_s2d and (
+        (is_unet and args.overlap % 2 == 0)
+        or (int8_mode and getattr(model, "INT8_BLOCKED_OUT", False) and args.overlap % 4 == 0)
+    )
 
     palette = continuous_palette_for_color("pink", 256)
     writers = ThreadPoolExecutor(max_workers=max(args.workers, 2))

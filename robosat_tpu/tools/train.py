@@ -78,6 +78,20 @@ def add_parser(subparser):
     parser.add_argument("--resume", type=bool, default=False, help="also restore optimizer state and epoch counter")
     parser.add_argument("--workers", type=int, default=0, help="decode worker threads")
     parser.add_argument("--profile", type=str, default=None, help="write a TensorBoard device trace to this directory")
+    parser.add_argument(
+        "--teacher",
+        type=str,
+        default=None,
+        help="distill from this trained checkpoint (e.g. a flagship U-Net) instead of training from labels alone",
+    )
+    parser.add_argument(
+        "--teacher_model",
+        type=str,
+        default=None,
+        help="model TOML of the teacher checkpoint (defaults to --model, i.e. same family)",
+    )
+    parser.add_argument("--distill_alpha", type=float, default=0.9, help="soft-target weight in the distillation loss")
+    parser.add_argument("--distill_temp", type=float, default=2.0, help="distillation softmax temperature")
 
     parser.set_defaults(func=main)
 
@@ -140,24 +154,56 @@ def main(args):
     image_size = model_config["common"]["image_size"]
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
-    train_step = make_train_step(
-        model,
-        loss_fn,
-        optimizer,
-        weight=weight,
-        mesh=mesh,
-        compute_dtype=compute_dtype,
-        remat=model_config["common"].get("remat", False),
-        # sync_bn = false in the model TOML selects the reference's
-        # per-replica DataParallel BN semantics (one trailing collective
-        # round instead of per-BN all-reduces; robosat/tools/train.py:69).
-        sync_bn=model_config["common"].get("sync_bn", True),
-    )
+    teacher_folded = None
+    # getattr: tests drive main() with bare Namespaces predating these flags.
+    teacher_path = getattr(args, "teacher", None)
+    distill_alpha = getattr(args, "distill_alpha", 0.9)
+    distill_temp = getattr(args, "distill_temp", 2.0)
+    if teacher_path:
+        # Knowledge distillation (--teacher): the teacher checkpoint loads
+        # from its own model TOML's family, folds its BNs once, and runs
+        # frozen inside the compiled train step
+        # (robosat_tpu.parallel.steps.make_distill_train_step).
+        from robosat_tpu.parallel.steps import make_distill_train_step
+
+        teacher_model_path = getattr(args, "teacher_model", None)
+        teacher_config = load_config(teacher_model_path) if teacher_model_path else model_config
+        teacher_model = get_model(teacher_config["common"].get("model", "unet"))
+        t_params, t_state, _ = load_model_checkpoint(teacher_path, num_classes)
+        teacher_folded = jax.jit(teacher_model.fold)(t_params, t_state)
+        train_step = make_distill_train_step(
+            model,
+            teacher_model,
+            loss_fn,
+            optimizer,
+            weight=weight,
+            mesh=mesh,
+            compute_dtype=compute_dtype,
+            remat=model_config["common"].get("remat", False),
+            alpha=distill_alpha,
+            temp=distill_temp,
+        )
+    else:
+        train_step = make_train_step(
+            model,
+            loss_fn,
+            optimizer,
+            weight=weight,
+            mesh=mesh,
+            compute_dtype=compute_dtype,
+            remat=model_config["common"].get("remat", False),
+            # sync_bn = false in the model TOML selects the reference's
+            # per-replica DataParallel BN semantics (one trailing collective
+            # round instead of per-BN all-reduces; robosat/tools/train.py:69).
+            sync_bn=model_config["common"].get("sync_bn", True),
+        )
     eval_step = make_eval_step(model, loss_fn, weight=weight, mesh=mesh, compute_dtype=compute_dtype)
 
     params = replicate(mesh, params)
     state = replicate(mesh, state)
     opt_state = replicate(mesh, opt_state)
+    if teacher_folded is not None:
+        teacher_folded = replicate(mesh, teacher_folded)
 
     path = dataset_config["common"]["dataset"]
     train_dataset = SlippyMapTilesConcatenation(
@@ -177,6 +223,8 @@ def main(args):
     log.log("Image Size:\t {}".format(image_size))
     log.log("Learning Rate:\t {}".format(model_config["opt"]["lr"]))
     log.log("Loss function:\t {}".format(loss_name))
+    if teacher_path:
+        log.log("Distilling from: {} (alpha {}, T {})".format(teacher_path, distill_alpha, distill_temp))
     if weight is not None:
         log.log("Weights :\t {}".format(dataset_config["weights"]["values"]))
     log.log("---")
@@ -203,17 +251,27 @@ def main(args):
         ):
             images, masks = batch.arrays
             rng = jax.random.fold_in(epoch_rng, step_idx)
-            with jax.profiler.StepTraceAnnotation("train_step", step_num=step_idx):
-                try:
-                    params, state, opt_state, loss, counts = train_step(
-                        params, state, opt_state, rng, images, masks
-                    )
-                except Exception as exc:  # noqa: BLE001 — fence infra failures with guidance
-                    _explain_backend_failure(exc, batch_size, model_config)
-                    raise
-            running_loss += float(loss)
+            # JAX dispatch is async: runtime failures surface at the value
+            # fetches (float(loss) / np.asarray(counts)), not at the step
+            # call — the fence must cover both or the 'transiently poisoned
+            # backend' class leaks raw tracebacks past it.
+            try:
+                with jax.profiler.StepTraceAnnotation("train_step", step_num=step_idx):
+                    if teacher_folded is not None:
+                        params, state, opt_state, loss, counts = train_step(
+                            params, state, opt_state, teacher_folded, rng, images, masks
+                        )
+                    else:
+                        params, state, opt_state, loss, counts = train_step(
+                            params, state, opt_state, rng, images, masks
+                        )
+                running_loss += float(loss)
+                counts_host = np.asarray(counts)
+            except Exception as exc:  # noqa: BLE001 — fence infra failures with guidance
+                _explain_backend_failure(exc, batch_size, model_config)
+                raise
             num_samples += batch.valid
-            metrics.add_counts(np.asarray(counts))
+            metrics.add_counts(counts_host)
             step_idx += 1
 
         train_hist = {
