@@ -195,12 +195,20 @@ def main():
             return int(salt)  # single 4-byte fetch: one tunnel round trip
 
         run_chain(2)  # compile + warmup
-        # min-of-reps: the tunnel's RPC latency spikes 10-100x minute-to-
-        # minute and only adds, never subtracts.
+        # Pairwise marginals, best POSITIVE margin: latency drift between a
+        # t_short batch and a t_long batch minutes apart produced negative
+        # margins (clamped to absurd rates) in round 4; pairing them
+        # back-to-back bounds the drift window to one chain.
         short, long_ = 2, 12
-        t_short = min(_timed(run_chain, short) for _ in range(reps))
-        t_long = min(_timed(run_chain, long_) for _ in range(reps))
-        return max((t_long - t_short) / (long_ - short), 1e-9)
+        margins = []
+        for _ in range(reps):
+            t_s = _timed(run_chain, short)
+            t_l = _timed(run_chain, long_)
+            margins.append((t_l - t_s) / (long_ - short))
+        positive = [m for m in margins if m > 0]
+        if not positive:
+            raise RuntimeError("all margins non-positive (tunnel drift): {}".format(margins))
+        return min(positive)
 
     sweep = {}
     # The experimental Pallas-tail cells are opt-in (BENCH_PALLAS=1) and run
@@ -234,13 +242,17 @@ def main():
     # ---- Registry families beyond the flagship U-Net ----------------------
     # Each cell runs the step exactly as `rs predict` ships it for that
     # family (make_predict_step / make_int8_predict_step). Those steps take
-    # no salt operand, so the dependent chain is threaded OUTSIDE the step:
-    # one byte of each output scatters into the next input on device — the
-    # chain cannot overlap or be elided, same marginal-time math as above.
+    # no salt operand, so a thin jit wrapper scatters one output byte into
+    # the next input INSIDE the same launch (jit-of-jit inlines the shipped
+    # step): a genuine data dependency with ONE program launch per step.
+    # Threading the byte through separate reshape/scatter launches instead
+    # was measured costing ~5-8 ms per extra launch through the tunnel,
+    # polluting every family cell (round-4 finding; the flagship cells'
+    # in-step salt never had the problem).
     from robosat_tpu.models import get_model
     from robosat_tpu.parallel.steps import make_int8_predict_step, make_predict_step
 
-    def measure_family(family, dtype, layout, batch, reps=3):
+    def measure_family(family, dtype, layout, batch, reps=5):
         model = get_model(family)
         fparams, fstate = model.init(0, num_classes=2)
         raw = raw_fine_all[:batch]
@@ -254,8 +266,13 @@ def main():
             )
             ftree = jax.device_put(ftree, device)
 
-            def call(r):
-                return fstep(ftree, r)
+            @jax.jit
+            def salted_t(tree, r, salt):
+                out = fstep(tree, r.at[0, 0, 0, 0].set(salt.astype(r.dtype)))
+                return out.reshape(-1)[0].astype(jnp.uint8)
+
+            def salted(r, salt):
+                return salted_t(ftree, r, salt)
         else:
             fstep = make_predict_step(
                 model, overlap=overlap, compute_dtype=jnp.bfloat16, fused_head=True, fold_bn=True,
@@ -264,24 +281,37 @@ def main():
             fparams_d = jax.device_put(fparams, device)
             fstate_d = jax.device_put(fstate, device)
 
-            def call(r):
-                return fstep(fparams_d, fstate_d, r)
+            @jax.jit
+            def salted_p(p, s, r, salt):
+                out = fstep(p, s, r.at[0, 0, 0, 0].set(salt.astype(r.dtype)))
+                return out.reshape(-1)[0].astype(jnp.uint8)
+
+            def salted(r, salt):
+                return salted_p(fparams_d, fstate_d, r, salt)
 
         raw_d = jax.device_put(raw, device)
 
         def run_chain(k):
-            r = raw_d
-            out = None
+            salt = jnp.uint8(0)
             for _ in range(k):
-                out = call(r)
-                r = raw_d.at[0, 0, 0, 0].set(out.reshape(-1)[0])
-            return int(np.asarray(out).ravel()[0])
+                salt = salted(raw_d, salt)
+            return int(salt)  # single 4-byte fetch: one tunnel round trip
 
         run_chain(2)
         short, long_ = 2, 12
-        t_short = min(_timed(run_chain, short) for _ in range(reps))
-        t_long = min(_timed(run_chain, long_) for _ in range(reps))
-        per_batch = max((t_long - t_short) / (long_ - short), 1e-9)
+        # Pairwise marginals: latency drift between a t_short batch and a
+        # t_long batch minutes later produced negative/absurd margins in
+        # earlier rounds; pairing them back-to-back and taking the best
+        # POSITIVE margin is robust to drift in either direction.
+        margins = []
+        for _ in range(reps):
+            t_s = _timed(run_chain, short)
+            t_l = _timed(run_chain, long_)
+            margins.append((t_l - t_s) / (long_ - short))
+        positive = [m for m in margins if m > 0]
+        if not positive:
+            return {"error": "all margins non-positive (tunnel drift): {}".format(margins)}
+        per_batch = min(positive)
         return {"ms_per_batch": round(per_batch * 1e3, 3), "tiles_per_s": round(batch / per_batch, 1)}
 
     family_cells = [

@@ -242,6 +242,20 @@ def main(args):
         running_loss, num_samples, step_idx = 0.0, 0, 0
         epoch_rng = jax.random.fold_in(base_rng, epoch)
         num_train_batches = len(train_dataset) // batch_size
+        # One-step-deep value pipeline: step k's (loss, counts) are fetched
+        # while step k+1 runs on the device. The reference fetches loss.item()
+        # synchronously every iteration (robosat/tools/train.py:184-194);
+        # with async JAX dispatch that round trip would serialize the loop —
+        # on a remote/tunneled accelerator it can dominate the step itself.
+        pending = None  # (loss_dev, counts_dev, valid)
+
+        def drain(p):
+            nonlocal running_loss, num_samples
+            loss_dev, counts_dev, valid = p
+            running_loss += float(loss_dev)
+            metrics.add_counts(np.asarray(counts_dev))
+            num_samples += valid
+
         for batch in tqdm(
             batches(train_dataset, batch_size, shuffle=True, drop_last=True, workers=max(args.workers, 2), seed=epoch),
             total=num_train_batches,
@@ -265,14 +279,19 @@ def main(args):
                         params, state, opt_state, loss, counts = train_step(
                             params, state, opt_state, rng, images, masks
                         )
-                running_loss += float(loss)
-                counts_host = np.asarray(counts)
+                if pending is not None:
+                    drain(pending)
             except Exception as exc:  # noqa: BLE001 — fence infra failures with guidance
                 _explain_backend_failure(exc, batch_size, model_config)
                 raise
-            num_samples += batch.valid
-            metrics.add_counts(counts_host)
+            pending = (loss, counts, batch.valid)
             step_idx += 1
+        if pending is not None:
+            try:
+                drain(pending)
+            except Exception as exc:  # noqa: BLE001
+                _explain_backend_failure(exc, batch_size, model_config)
+                raise
 
         train_hist = {
             "loss": running_loss / max(num_samples, 1),
@@ -295,6 +314,7 @@ def main(args):
         # Validation pass.
         metrics = Metrics(range(num_classes))
         running_loss, num_samples = 0.0, 0
+        pending = None  # same one-step value pipeline as the train pass
         for batch in tqdm(
             batches(val_dataset, batch_size, drop_last=True, workers=max(args.workers, 2)),
             total=len(val_dataset) // batch_size,
@@ -304,9 +324,11 @@ def main(args):
         ):
             images, masks = batch.arrays
             loss, counts = eval_step(params, state, images, masks)
-            running_loss += float(loss)
-            num_samples += batch.valid
-            metrics.add_counts(np.asarray(counts))
+            if pending is not None:
+                drain(pending)
+            pending = (loss, counts, batch.valid)
+        if pending is not None:
+            drain(pending)
 
         val_hist = {
             "loss": running_loss / max(num_samples, 1),
