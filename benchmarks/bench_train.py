@@ -66,22 +66,40 @@ def main():
                     unet, loss_fn, optimizer, weight=weight, augment=True, remat=remat,
                     compute_dtype=jnp.bfloat16,  # ship parity: config/model-unet.toml bf16=true
                 )
-                p = jax.device_put(params, device)
-                s = jax.device_put(state, device)
-                o = jax.device_put(optimizer.init(params), device)
+                carried = [
+                    jax.device_put(params, device),
+                    jax.device_put(state, device),
+                    jax.device_put(optimizer.init(params), device),
+                ]
 
-                def run_chain(k, p=p, s=s, o=o):
+                def run_chain(k, carried=carried):
                     # Chain through the full carried state; fetch one scalar.
+                    # The step donates params/state/opt_state, so every chain
+                    # continues from the PREVIOUS chain's outputs — reusing a
+                    # donated handle fails with INVALID_ARGUMENT on this
+                    # backend.
+                    p, s, o = carried
                     kk = jax.random.PRNGKey(0)
                     loss = None
                     for i in range(k):
                         p, s, o, loss, _ = step(p, s, o, jax.random.fold_in(kk, i), images, masks)
+                    carried[:] = [p, s, o]
                     return float(loss)
 
                 run_chain(1)  # compile + warmup
-                t_short = min(_timed(run_chain, 1) for _ in range(3))
-                t_long = min(_timed(run_chain, 5) for _ in range(3))
-                per = max((t_long - t_short) / 4, 1e-9)
+                # Pairwise marginals, best positive (see bench.py: robust to
+                # tunnel latency drift between the short and long chains).
+                margins = []
+                for _ in range(3):
+                    t_s = _timed(run_chain, 1)
+                    t_l = _timed(run_chain, 5)
+                    margins.append((t_l - t_s) / 4)
+                positive = [m for m in margins if m > 0]
+                if not positive:
+                    results[key] = {"error": "all margins non-positive: {}".format(margins)}
+                    print(key, results[key], flush=True)
+                    continue
+                per = min(positive)
                 results[key] = {"ms_per_step": round(per * 1e3, 1), "img_per_s": round(batch / per, 1)}
             except Exception as e:  # noqa: BLE001
                 results[key] = {"error": str(e)[:160]}

@@ -106,6 +106,39 @@ def apply(params, state, x, train=False):
     return logits, new_state
 
 
+def apply_s2d(params, state, x, train=False):
+    """Training/eval forward with the space-to-depth decoder TAIL; returns
+    (fine logits, new_state) — the same math as `apply` up to fp summation
+    order.
+
+    Why: in train mode the plain walk runs dec4/dec5/head on full-resolution
+    32-channel buffers that XLA:TPU lane-pads 4x; at batch 16 x 512px those
+    fine-tail passes (forward + backward) were the largest non-loss block of
+    the step profile (docs/PERF.md round 4). The s2d forms run the same ops
+    at half resolution with 4*32 = 128-lane channels — the rewrite predict
+    shipped in round 2 — and gradients flow through the rearranged kernels
+    exactly. The decoder is BN-free (robosat/unet.py:18-44) so the s2d
+    decoder works on raw params; only the encoder carries train-mode BN.
+
+    The head's 1x1 conv applies per-parity in blocked space; only the final
+    (N, H, W, num_classes) logits ever exist at fine resolution (one
+    depth_to_space2 transpose feeding the loss).
+    """
+    from robosat_tpu.models.layers import depth_to_space2
+
+    n, h, w, c = x.shape
+    assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
+
+    skips, enc_state = resnet.apply(params["encoder"], state["encoder"], x, train)
+    feats = decode_s2d(params, skips)  # (N, H/2, W/2, 4*32) parity-major
+
+    nb, hb, wb, cb = feats.shape
+    wf = params["final"]["w"].reshape(NUM_FILTERS, -1)  # (32, C)
+    blocked = jnp.einsum("nhwpf,fc->nhwpc", feats.reshape(nb, hb, wb, 4, NUM_FILTERS), wf.astype(feats.dtype))
+    logits = depth_to_space2(blocked.reshape(nb, hb, wb, -1))
+    return logits + params["final"]["b"].astype(logits.dtype), {"encoder": enc_state}
+
+
 def fold(params, state):
     """Inference-folded params: encoder BNs folded into convs; the decoder has
     no BN (robosat/unet.py:18-44), so its params pass through unchanged."""

@@ -52,6 +52,67 @@ def miou_loss(logits, targets, weight=None):
     return jnp.maximum(miou, cross_entropy_loss(logits, targets, weight))
 
 
+@jax.custom_vjp
+def _lovasz_flat(mask, inp):
+    """Per-sample Lovasz hinge on flattened (C*H*W,) mask/input vectors.
+
+    Value matches the reference exactly (robosat/losses.py:103-119). The
+    custom VJP exists because the Lovasz gradient coefficients depend only
+    on the label RANKING — the reference's torch code computes them from the
+    sorted LongTensor labels outside autograd, so its backward is simply
+    relu'(errors_sorted) * coeffs unpermuted. Letting JAX differentiate the
+    sort/cumsum pipeline instead reproduces that same gradient at ~10x the
+    cost: a second full-size sort to invert the permutation, reverse-cumsum
+    chains, and a dead mask-cotangent path — together they dominated the
+    whole train step (docs/PERF.md round 4: 205 ms/step of which the loss
+    backward was ~130 ms at batch 16, 512px).
+    """
+    return _lovasz_fwd(mask, inp)[0]
+
+
+def _lovasz_fwd(mask, inp):
+    errors = 1.0 - (mask * 2.0 - 1.0) * inp
+    # One stable sort carries the labels AND the permutation through the
+    # order a stable argsort(-errors) would produce — packed into a single
+    # s32 payload (label in bit 30, original index below; C*H*W < 2^30) so
+    # the bitonic network moves one 4-byte payload instead of two.
+    idx = jax.lax.iota(jnp.int32, errors.shape[0])
+    packed = idx | (mask.astype(jnp.int32) << 30)
+    neg_sorted, packed_sorted = jax.lax.sort((-errors, packed), num_keys=1, is_stable=True)
+    errors_sorted = -neg_sorted
+    labels_sorted = (packed_sorted >> 30).astype(mask.dtype)
+    perm = packed_sorted & ((1 << 30) - 1)
+
+    total = jnp.sum(labels_sorted)
+    csum = jnp.cumsum(labels_sorted)
+    inter = total - csum
+    # cumsum(1 - l) == (k+1) - cumsum(l): one cumsum pass instead of two.
+    union = total + (idx.astype(jnp.float32) + 1.0) - csum
+    iou = 1.0 - inter / union
+    grad = jnp.concatenate([iou[:1], iou[1:] - iou[:-1]])
+    loss = jnp.dot(jax.nn.relu(errors_sorted), grad)
+
+    # Invert the permutation by sorting (perm, grad) ascending — one
+    # single-key sort; TPU scatter of 5e5 elements measures 3x worse. The
+    # relu' test (at 0: 0, torch/JAX convention) applies AFTER unpermuting:
+    # errors_sorted[rank(i)] is the same f32 as errors[i], so testing
+    # errors > 0 in original order is exact and fuses into the final
+    # elementwise pass instead of materializing a bool plane between sorts.
+    _, g_orig = jax.lax.sort((perm, grad), num_keys=1)
+    # Chain rule through errors = 1 - (2*mask - 1) * inp.
+    return loss, (jnp.where(errors > 0, g_orig, 0.0) * -(mask * 2.0 - 1.0),)
+
+
+def _lovasz_bwd(res, ct):
+    (d_inp,) = res
+    # mask = one_hot(int targets): no gradient flows past it; zeros keep the
+    # custom_vjp contract and DCE away.
+    return jnp.zeros_like(d_inp), ct * d_inp
+
+
+_lovasz_flat.defvjp(_lovasz_fwd, _lovasz_bwd)
+
+
 def lovasz_loss(logits, targets):
     """LovaszLoss2d: Lovasz hinge on the per-sample C*H*W flattening.
 
@@ -65,24 +126,7 @@ def lovasz_loss(logits, targets):
     flat_inputs = jnp.transpose(logits, (0, 3, 1, 2)).reshape(n, -1)
     flat_masks = jnp.transpose(masks, (0, 3, 1, 2)).reshape(n, -1)
 
-    def per_sample(mask, inp):
-        errors = 1.0 - (mask * 2.0 - 1.0) * inp
-        # One stable multi-operand sort carries the labels through the same
-        # permutation a stable argsort(-errors) would produce; vs argsort +
-        # two fancy-index gathers of the C*H*W vector this removes both
-        # gathers (and their scatter transposes in the backward pass) from
-        # the hot train step.
-        neg_sorted, labels_sorted = jax.lax.sort((-errors, mask), num_keys=1, is_stable=True)
-        errors_sorted = -neg_sorted
-
-        total = jnp.sum(labels_sorted)
-        inter = total - jnp.cumsum(labels_sorted)
-        union = total + jnp.cumsum(1.0 - labels_sorted)
-        iou = 1.0 - inter / union
-        grad = jnp.concatenate([iou[:1], iou[1:] - iou[:-1]])
-        return jnp.dot(jax.nn.relu(errors_sorted), grad)
-
-    return jnp.mean(jax.vmap(per_sample)(flat_masks, flat_inputs))
+    return jnp.mean(jax.vmap(_lovasz_flat)(flat_masks, flat_inputs))
 
 
 LOSSES = {

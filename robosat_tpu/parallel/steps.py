@@ -346,12 +346,19 @@ def make_segment_step(model, mesh=None, compute_dtype=jnp.float32):
 
 def make_train_step(
     model, loss_fn, optimizer, weight=None, mesh=None, compute_dtype=jnp.float32, augment=True, remat=False,
-    sync_bn=True,
+    sync_bn=True, s2d_tail=True,
 ):
     """Compiled training step.
 
     Returns step(params, state, opt_state, rng, images_u8, masks) ->
     (params, state, opt_state, loss, counts).
+
+    `s2d_tail` (models exposing `apply_s2d`) runs the training forward with
+    the space-to-depth decoder tail — the same ops at half resolution with
+    128-lane channels instead of lane-padded 32-channel fine buffers,
+    identical math up to fp summation order (models/unet.apply_s2d). The
+    fine-tail passes were the largest non-loss block of the round-4 train
+    profile.
 
     `remat` rematerializes the forward during the backward pass
     (jax.checkpoint), trading ~33% more FLOPs for not keeping every decoder
@@ -373,7 +380,7 @@ def make_train_step(
       collectives per step drop from ~110 to ~4 — this is also the path
       that stays latency-tolerant on multi-host DCN meshes.
     """
-    forward = model.apply
+    forward = model.apply_s2d if (s2d_tail and hasattr(model, "apply_s2d")) else model.apply
     if remat:
         forward = jax.checkpoint(forward, static_argnums=(3,))
 
@@ -481,7 +488,7 @@ def make_distill_train_step(
     Reference context: the reference trains one fixed architecture
     (robosat/tools/train.py:69-77) and has no distillation story.
     """
-    forward = model.apply
+    forward = model.apply_s2d if hasattr(model, "apply_s2d") else model.apply
     if remat:
         forward = jax.checkpoint(forward, static_argnums=(3,))
     t_forward = teacher_model.apply_folded
@@ -521,12 +528,13 @@ def make_distill_train_step(
     )
 
 
-def make_eval_step(model, loss_fn, weight=None, mesh=None, compute_dtype=jnp.float32):
+def make_eval_step(model, loss_fn, weight=None, mesh=None, compute_dtype=jnp.float32, s2d_tail=True):
     """Compiled validation step: (params, state, images_u8, masks) -> (loss, counts)."""
+    forward = model.apply_s2d if (s2d_tail and hasattr(model, "apply_s2d")) else model.apply
 
     def step(params, state, images, masks):
         x = normalize(images).astype(compute_dtype)
-        logits, _ = model.apply(params, state, x, train=False)
+        logits, _ = forward(params, state, x, train=False)
         loss = loss_fn(logits.astype(jnp.float32), masks, weight)
         return loss, confusion_counts(logits, masks)
 

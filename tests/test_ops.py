@@ -88,6 +88,45 @@ def test_lovasz_matches_numpy_oracle():
     assert ours == pytest.approx(expected, rel=1e-4)
 
 
+def test_lovasz_custom_vjp_matches_autodiff_exactly():
+    """The shipped loss computes its gradient with a custom VJP (the Lovasz
+    coefficients are constants w.r.t. the logits — robosat/losses.py treats
+    them exactly so). Pin value AND gradient bit-identical to plain autodiff
+    through the sort/cumsum formulation, including under heavy ties (relu'
+    convention at 0) — the case that would expose a permutation-handling bug."""
+    import jax
+
+    def autodiff_formulation(logits, targets):
+        n, h, w, c = logits.shape
+        masks = jax.nn.one_hot(targets, c, dtype=logits.dtype)
+        flat_in = jnp.transpose(logits, (0, 3, 1, 2)).reshape(n, -1)
+        flat_m = jnp.transpose(masks, (0, 3, 1, 2)).reshape(n, -1)
+
+        def per_sample(mask, inp):
+            errors = 1.0 - (mask * 2.0 - 1.0) * inp
+            neg_sorted, labels_sorted = jax.lax.sort((-errors, mask), num_keys=1, is_stable=True)
+            errors_sorted = -neg_sorted
+            total = jnp.sum(labels_sorted)
+            inter = total - jnp.cumsum(labels_sorted)
+            union = total + jnp.cumsum(1.0 - labels_sorted)
+            iou = 1.0 - inter / union
+            grad = jnp.concatenate([iou[:1], iou[1:] - iou[:-1]])
+            return jnp.dot(jax.nn.relu(errors_sorted), grad)
+
+        return jnp.mean(jax.vmap(per_sample)(flat_m, flat_in))
+
+    rng = np.random.default_rng(7)
+    for ties in (False, True):
+        logits = rng.standard_normal((2, 16, 16, 2)).astype(np.float32)
+        if ties:
+            logits = np.round(logits * 2) / 2  # many exactly-equal errors
+        targets = rng.integers(0, 2, (2, 16, 16))
+        v_new, g_new = jax.value_and_grad(lovasz_loss)(jnp.asarray(logits), jnp.asarray(targets))
+        v_ref, g_ref = jax.value_and_grad(autodiff_formulation)(jnp.asarray(logits), jnp.asarray(targets))
+        assert float(v_new) == float(v_ref)
+        assert float(jnp.max(jnp.abs(g_new - g_ref))) == 0.0
+
+
 def test_lovasz_perfect_prediction_near_zero():
     t = np.zeros((1, 8, 8), np.int64)
     t[0, :4] = 1

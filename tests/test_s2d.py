@@ -157,3 +157,31 @@ def test_unet_from48_matches_s2d_path():
     ref = np.asarray(jax.jit(unet.apply_features_folded_s2d)(folded, x))
     got = np.asarray(jax.jit(unet.apply_features_folded_s2d_from48)(folded, space_to_depth4(x)))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_unet_apply_s2d_train_matches_apply():
+    """The s2d TRAIN forward (default tail in make_train_step) matches the
+    plain walk — logits to fp tolerance, BN state updates identical, and
+    gradients through a scalar loss equal to fp summation order."""
+    from robosat_tpu.models import unet
+
+    params, state = unet.init(0, num_classes=2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    l_ref, s_ref = jax.jit(lambda p, s, xx: unet.apply(p, s, xx, True))(params, state, x)
+    l_s2d, s_s2d = jax.jit(lambda p, s, xx: unet.apply_s2d(p, s, xx, True))(params, state, x)
+    scale = float(jnp.max(jnp.abs(l_ref)))
+    np.testing.assert_allclose(np.asarray(l_s2d), np.asarray(l_ref), rtol=0, atol=1e-5 * scale)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_s2d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(apply_fn, p):
+        logits, _ = apply_fn(p, state, x, True)
+        return jnp.sum(jnp.tanh(logits))
+
+    g_ref = jax.grad(lambda p: loss(unet.apply, p))(params)
+    g_s2d = jax.grad(lambda p: loss(unet.apply_s2d, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_s2d)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-4 * (np.abs(a).max() + 1e-9))
