@@ -266,8 +266,12 @@ class LineString(Geometry):
 
     @property
     def bounds(self):
-        c = self.coords
-        return (float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max()))
+        b = getattr(self, "_bounds", None)
+        if b is None:
+            lo = self.coords.min(axis=0)
+            hi = self.coords.max(axis=0)
+            b = self._bounds = (float(lo[0]), float(lo[1]), float(hi[0]), float(hi[1]))
+        return b
 
     def __geo_interface__(self):
         return {"type": "LineString", "coordinates": [[float(x), float(y)] for x, y in self.coords]}
@@ -296,8 +300,14 @@ class Polygon(Geometry):
 
     @property
     def bounds(self):
-        s = self.shell
-        return (float(s[:, 0].min()), float(s[:, 1].min()), float(s[:, 0].max()), float(s[:, 1].max()))
+        # Cached: rings are treated as immutable, and the merge/dedupe graph
+        # build calls bounds O(candidate-pairs) times per geometry.
+        b = getattr(self, "_bounds", None)
+        if b is None:
+            lo = self.shell.min(axis=0)
+            hi = self.shell.max(axis=0)
+            b = self._bounds = (float(lo[0]), float(lo[1]), float(hi[0]), float(hi[1]))
+        return b
 
     @property
     def is_valid(self):
@@ -330,7 +340,7 @@ class Polygon(Geometry):
     def __geo_interface__(self):
         rings = []
         for ring in self.rings:
-            closed = [[float(x), float(y)] for x, y in ring]
+            closed = np.asarray(ring, np.float64).tolist()  # C-speed, same floats
             closed.append(closed[0])
             rings.append(closed)
         return {"type": "Polygon", "coordinates": rings}
@@ -352,13 +362,17 @@ class MultiPolygon(Geometry):
 
     @property
     def bounds(self):
+        b = getattr(self, "_bounds", None)
+        if b is not None:
+            return b
         bs = [p.bounds for p in self.geoms]
-        return (
-            min(b[0] for b in bs),
-            min(b[1] for b in bs),
-            max(b[2] for b in bs),
-            max(b[3] for b in bs),
+        b = self._bounds = (
+            min(bb[0] for bb in bs),
+            min(bb[1] for bb in bs),
+            max(bb[2] for bb in bs),
+            max(bb[3] for bb in bs),
         )
+        return b
 
     @property
     def is_valid(self):

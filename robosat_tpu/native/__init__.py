@@ -165,13 +165,41 @@ def ring_is_simple(pts):
     return bool(lib.rs_ring_is_simple(pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(pts)))
 
 
+def _pack_polygon_cached(poly):
+    """Per-polygon packed-coordinate cache for repeat predicate calls.
+
+    The merge/dedupe graph build tests each geometry against every R-tree
+    candidate (O(candidate-pairs) native calls); re-concatenating the ring
+    arrays per call was ~8% of `rs merge` wall time. Rings are treated as
+    immutable, so the flat (coords, lens) arrays cache on the polygon.
+    """
+    cached = getattr(poly, "_native_pack", None)
+    if cached is None:
+        rings = list(poly.rings)
+        coords = np.ascontiguousarray(np.concatenate([np.asarray(r, np.float64).reshape(-1, 2) for r in rings]))
+        lens = np.asarray([len(r) for r in rings], np.int32)
+        # The pointer objects are as cacheable as the arrays they reference
+        # (kept alive by the same tuple).
+        cached = (
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(lens),
+            (coords, lens),
+        )
+        try:
+            poly._native_pack = cached
+        except AttributeError:  # foreign object without __dict__
+            pass
+    return cached
+
+
 def polys_intersect(pa, pb):
     """Native polygon-pair share-any-point predicate (containment either way
     or closed-segment boundary crossing; mirrors geometries_intersect)."""
     lib = load()
     assert lib is not None
-    ca, la, na, keep_a = _pack(list(pa.rings))  # noqa: F841
-    cb, lb, nb, keep_b = _pack(list(pb.rings))  # noqa: F841
+    ca, la, na, keep_a = _pack_polygon_cached(pa)  # noqa: F841
+    cb, lb, nb, keep_b = _pack_polygon_cached(pb)  # noqa: F841
     return bool(lib.rs_polys_intersect(ca, la, na, cb, lb, nb))
 
 
