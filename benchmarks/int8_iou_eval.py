@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--eval", type=int, default=96)
+    ap.add_argument("--percentiles", default="none,mse,mae,99.99,99.9,99.5,99.0")
     cli = ap.parse_args()
 
     import jax
@@ -76,11 +77,19 @@ def main():
     train_s = time.perf_counter() - t0
 
     # ---- fp32/bf16 reference masks (the shipped non-int8 predict) -------
+    def _fg(q):
+        # Exact inverse of the digitize quirk: searchsorted(side='right') maps
+        # p == 1.0 (and ONLY p == 1.0; p == 0.0 gives q = 1) to index 256,
+        # which the uint8 cast wraps to 0 — so q == 0 means saturated
+        # foreground. Confident trained models saturate most fg pixels, so a
+        # bare q >= 128 threshold would misread them all as background.
+        return (q >= 128) | (q == 0)
+
     fp_step = make_predict_step(unet, overlap=0, compute_dtype=jnp.bfloat16, fused_head=True, fold_bn=True)
     fp_masks = []
     for i in range(0, cli.eval, cli.batch):
         q = np.asarray(fp_step(p, s, eval_images[i : i + cli.batch]))
-        fp_masks.append(q >= 128)  # fused head: uint8 probability, fg >= 0.5
+        fp_masks.append(_fg(q))
     fp = np.concatenate(fp_masks)
 
     # ---- int8 masks under both calibrations -----------------------------
@@ -97,16 +106,31 @@ def main():
             # blocked (N, H/2, W/2, 4) parity-major uint8 -> fine (N, H, W)
             n, h, w, four = blocked.shape
             fine = blocked.reshape(n, h, w, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 2 * h, 2 * w)
-            outs.append(fine >= 128)
+            outs.append(_fg(fine))
         return np.concatenate(outs)
 
-    int8_amax = int8_masks(None)
-    int8_pct = int8_masks(99.9)
     gt = eval_masks.astype(bool)
 
     def iou(a, b):
         union = np.logical_or(a, b).sum()
         return float(np.logical_and(a, b).sum() / union) if union else 1.0
+
+    sweep = {}
+    masks_by_spec = {}
+    for spec in cli.percentiles.split(","):
+        pct = None if spec == "none" else (spec if spec in ("mse", "mae") else float(spec))
+        masks = masks_by_spec[spec] = int8_masks(pct)
+        sweep[spec] = {
+            "agreement_iou": round(iou(masks, fp), 4),
+            "gt_iou": round(iou(masks, gt), 4),
+            "pixels_changed": int(np.sum(masks != fp)),
+        }
+    int8_amax = masks_by_spec.get("none")
+    if int8_amax is None:
+        int8_amax = int8_masks(None)
+    int8_pct = masks_by_spec.get("99.9")
+    if int8_pct is None:
+        int8_pct = int8_masks(99.9)
 
     print(
         json.dumps(
@@ -120,6 +144,7 @@ def main():
                 "pixels_changed_amax": int(np.sum(int8_amax != fp)),
                 "pixels_changed_pct": int(np.sum(int8_pct != fp)),
                 "pixels_total": int(fp.size),
+                "calibration_sweep": sweep,
                 "train_steps": cli.train_steps,
                 "final_train_loss": round(float(loss), 4),
                 "eval_tiles": cli.eval,

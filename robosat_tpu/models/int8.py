@@ -145,6 +145,10 @@ def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, dila
     return y.astype(compute_dtype)
 
 
+# Candidate clip fractions for the "mse" calibration grid (of the site amax).
+_MSE_GRID = np.geomspace(0.02, 1.0, 28).astype(np.float32)
+
+
 class _Sites:
     """Positional conv-site cursor shared by calibration and inference."""
 
@@ -157,7 +161,31 @@ class _Sites:
     def next_scale(self, x):
         if self.scales is None:
             a = jnp.abs(x.astype(jnp.float32))
-            if self.percentile is not None:
+            if self.percentile in ("mse", "mae"):
+                # Grid-optimal clip: per site, pick the clip value (a grid of
+                # fractions of amax) minimizing the symmetric-int8
+                # quantize-dequantize reconstruction error over the
+                # calibration batch. A fixed percentile applies ONE outlier
+                # policy to every layer; the grid search adapts per site
+                # (layers without outliers keep ~amax, outlier layers clip).
+                # Objective choice matters in the trained-model regime
+                # (docs/PERF.md round 4: amax agreement-IoU 0.14 — outlier
+                # channels blow the static per-tensor scale): under L2
+                # ("mse") a single extreme outlier's squared error dominates
+                # the bulk's quantization noise, pulling the optimum back to
+                # ~amax — the exact failure mode. L1 ("mae") weights the
+                # outlier linearly, so the optimum lands at the bulk's edge.
+                amax = jnp.max(a)
+                sq = self.percentile == "mse"
+                errs = []
+                for frac in _MSE_GRID:
+                    clip = amax * jnp.float32(frac)
+                    step = jnp.maximum(clip, 1e-12) / 127.0
+                    resid = jnp.minimum(jnp.round(a / step), 127.0) * step - a
+                    errs.append(jnp.mean(jnp.square(resid) if sq else jnp.abs(resid)))
+                best = jnp.argmin(jnp.stack(errs))
+                self.taps.append(amax * jnp.asarray(_MSE_GRID)[best])
+            elif self.percentile is not None:
                 # Percentile clipping: on models with activation outliers a
                 # static amax scale wastes most of the int8 range — p99.9
                 # measured int8 IoU 0.27 -> 0.70 on a weakly-trained model

@@ -89,10 +89,22 @@ def main(args):
     int8_mode = model_config["common"].get("int8", False) and (
         is_unet or hasattr(model, "predict_quantized_int8")
     )
-    # int8_calibration = "amax" (default) or a percentile like 99.9: clipped
-    # scales keep outlier activations from wasting the int8 range.
-    calib = model_config["common"].get("int8_calibration", "amax")
-    calib_percentile = None if calib in ("amax", None) else float(calib)
+    # int8_calibration = a percentile (default 99.8), "mae"/"mse" (per-site
+    # L1/L2-optimal clip grids), or "amax". Trained-model sweep
+    # (benchmarks/int8_iou_eval.py, docs/PERF.md round 4): amax calibration
+    # collapses a trained model (mask-agreement IoU 0.14 vs fp32 — outlier
+    # activation channels blow the static per-tensor scale) and L2-grid
+    # tracks it (a lone outlier dominates squared error); the percentile
+    # plateau 99.7-99.9 measured best (0.94 agreement, peak at 99.8), so
+    # that is the default. "amax" remains for the random-weight byte-parity
+    # tests and as an explicit opt-out.
+    calib = model_config["common"].get("int8_calibration", 99.8)
+    if calib in ("amax", None):
+        calib_percentile = None
+    elif calib in ("mse", "mae"):
+        calib_percentile = calib
+    else:
+        calib_percentile = float(calib)
     # pallas_tail = "tail" | "sep" | "full" in the model TOML swaps the int8
     # U-Net's dec4/dec5 (with "sep", dec3 too, all in parity-separated
     # layout; with "full", the head) for the fused Pallas kernels
