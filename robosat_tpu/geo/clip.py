@@ -318,7 +318,8 @@ def _sweep(segs, q, op, want_geometry):
     """
     winding = op == "nunion"
     erode_mode = op == "erode"
-    pred = None if (winding or erode_mode) else _PREDICATES[op]
+    erode_in_mode = op == "erode_in"
+    pred = None if (winding or erode_mode or erode_in_mode) else _PREDICATES[op]
 
     # Non-vertical spanning segments (lo->hi in +x), sorted by entry x so the
     # slab loop maintains an active list instead of rescanning every span.
@@ -394,6 +395,15 @@ def _sweep(segs, q, op, want_geometry):
                 in_a ^= pa
                 in_b += pb
                 covered = bool(in_a) and in_b == 0
+            elif erode_in_mode:
+                # Raw-offset-curve erosion: inside the base (even-odd) AND
+                # the inward offset curves wind positively (Chen & McMains).
+                # The base test is redundant in exact arithmetic (the curve
+                # winds 0 outside the eroded region) but clamps any snapped
+                # curve self-cancellation wobble to within the polygon.
+                in_a ^= pa
+                in_b += pb
+                covered = bool(in_a) and in_b > 0
             else:
                 in_a ^= pa
                 in_b ^= pb
@@ -749,6 +759,58 @@ def erode(geom, halo_pieces):
 
         return _assemble_polygons(native.overlay_rings(base_rings, halo_rings, "erode"), q, presimplified=True)
     _, directed = _overlay_erode(base_rings, halo_rings, want_geometry=True)
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+
+
+def union_winding_rings(rings):
+    """The winding>0 region of directed rings in one overlay.
+
+    Like `union_all` but over raw coordinate rings that may self-intersect —
+    the entry point for the raw-offset-curve dilation (geo/buffer.py
+    `_offset_curve`): canonical base rings + outward offset curves in, the
+    Minkowski dilation out.
+    """
+    rings = [np.asarray(r, np.float64) for r in rings if len(r) >= 3]
+    if not rings:
+        return MultiPolygon([])
+    q = _snap_quantum(rings, [])
+
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), q, presimplified=True)
+    _, directed = _overlay_union(rings, want_geometry=True)
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+
+
+def erode_offset(geom, offset_curves):
+    """`geom` ∩ {winding(inward offset curves) > 0} in ONE overlay.
+
+    The raw-offset-curve erosion (see geo/buffer.py `_offset_curve`):
+    identical region to `erode(geom, halo_pieces)` — the curves' arcs sample
+    the same circles as the wedge pieces — at a fraction of the overlay's
+    segment count.
+    """
+    base_rings = _collect_rings(geom)
+    curves = [np.asarray(c, np.float64) for c in offset_curves if len(c) >= 3]
+    if not curves:
+        return boolean_op(geom, None, "union")
+    q = _snap_quantum(base_rings, curves)
+
+    lib = _native()
+    if lib is not None:
+        from robosat_tpu import native
+
+        return _assemble_polygons(
+            native.overlay_rings(base_rings, curves, "erode_in"), q, presimplified=True
+        )
+    segs = _segments_from_rings(base_rings, 0, q) + _segments_from_rings(curves, 1, q)
+    if not segs:
+        return MultiPolygon([])
+    segs = _split_all_segments(segs, q)
+    segs = _canonical_segments_erode(segs)
+    _, directed = _sweep(segs, q, "erode_in", True)
     return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
 
 

@@ -19,7 +19,7 @@ _LIB = os.path.join(os.path.dirname(__file__), "_geometry.so")
 _lib = None
 _tried = False
 
-_OPS = {"union": 0, "intersection": 1, "difference": 2, "xor": 3, "nunion": 4, "erode": 5}
+_OPS = {"union": 0, "intersection": 1, "difference": 2, "xor": 3, "nunion": 4, "erode": 5, "erode_in": 7}
 
 
 def _build():

@@ -232,7 +232,8 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     };
     std::unordered_map<std::pair<Pt, Pt>, std::pair<int, int>, KeyHash, KeyEq> merged;
     bool winding = (op == 4);
-    bool erode_mode = (op == 5);
+    bool erode_in = (op == 7);       // base even-odd AND curve winding > 0
+    bool erode_mode = (op == 5) || erode_in;
     bool iou_mode = (op == 6);  // accumulate intersection AND union areas
     for (size_t i = 0; i < n; i++) {
         Pt prev = segs[i].p;
@@ -412,7 +413,11 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             } else if (erode_mode) {
                 if (cur.pa) in_a = !in_a;
                 wind += cur.pb;
-                covered = in_a && wind == 0;
+                // op 5: base minus halo pieces (winding == 0); op 7: base
+                // AND inward raw offset curves wind positively (the base
+                // test clamps snapped curve wobble within the polygon —
+                // mirrors clip.py's erode_in sweep branch).
+                covered = in_a && (erode_in ? wind > 0 : wind == 0);
             } else if (iou_mode) {
                 if (cur.pa) in_a = !in_a;
                 if (cur.pb) in_b = !in_b;
@@ -818,6 +823,68 @@ void path_pieces(const Pt* pts, int n, bool closed, double r, int quad_segs, Rin
     }
 }
 
+// Raw offset curve (the Chen & McMains / Clipper winding construction) of
+// one closed canonically-oriented ring; port of buffer.py _offset_curve.
+// Every edge translated by r along its left (inward=true, erosion) or right
+// (dilation) normal; gap-opening turns joined by the forward round arc,
+// rail-crossing turns by Clipper's 3-point pinch through the original
+// vertex (see the Python docstring for why a backward arc would corrupt the
+// winding). The winding>0 region (plus the base rings for dilation,
+// intersected with the base for erosion) equals the quad/wedge pieces'
+// coverage at ~4x fewer overlay segments. Returns false when the ring
+// degenerates (callers fall back to path_pieces, whose endpoint discs
+// handle it).
+bool offset_curve(const Pt* in, int n_in, double r, int quad_segs, bool inward,
+                  std::vector<Pt>& out) {
+    // Drop an explicit closing vertex, then consecutive duplicates
+    // (cyclically — index 0 compares against the last kept point).
+    int n0 = n_in;
+    if (n0 >= 2 && in[0] == in[n0 - 1]) n0--;
+    std::vector<Pt> d;
+    d.reserve(n0);
+    for (int i = 0; i < n0; i++)
+        if (!(in[i] == in[(i - 1 + n0) % n0])) d.push_back(in[i]);
+    int n = (int)d.size();
+    if (n < 3) return false;
+
+    std::vector<double> theta(n), phi(n);
+    for (int i = 0; i < n; i++) {
+        const Pt& p1 = d[i];
+        const Pt& p2 = d[(i + 1) % n];
+        double dx = p2.x - p1.x, dy = p2.y - p1.y;
+        if (dx == 0.0 && dy == 0.0) return false;
+        theta[i] = std::atan2(dy, dx);
+        phi[i] = theta[i] + (inward ? 0.5 * M_PI : -0.5 * M_PI);
+    }
+    double step_cap = 0.5 * M_PI / std::max(quad_segs, 1);
+    out.clear();
+    out.reserve(size_t(n) * (quad_segs / 2 + 2));
+    for (int i = 0; i < n; i++) {
+        int prev = (i - 1 + n) % n;
+        double m = std::fmod(theta[i] - theta[prev] + M_PI, 2.0 * M_PI);
+        if (m < 0.0) m += 2.0 * M_PI;  // Python % semantics
+        double turn = m - M_PI;
+        const Pt& v = d[i];
+        if (std::fabs(turn) < 1e-12) {
+            out.push_back(Pt{v.x + r * std::cos(phi[i]), v.y + r * std::sin(phi[i])});
+            continue;
+        }
+        if ((turn > 0.0) == inward) {
+            // Rails cross: pinch through the original vertex.
+            out.push_back(Pt{v.x + r * std::cos(phi[prev]), v.y + r * std::sin(phi[prev])});
+            out.push_back(v);
+            out.push_back(Pt{v.x + r * std::cos(phi[i]), v.y + r * std::sin(phi[i])});
+            continue;
+        }
+        int steps = std::max((int)std::ceil(std::fabs(turn) / step_cap), 1);
+        for (int k = 0; k <= steps; k++) {
+            double a = phi[prev] + turn * (double)k / steps;
+            out.push_back(Pt{v.x + r * std::cos(a), v.y + r * std::sin(a)});
+        }
+    }
+    return true;
+}
+
 // ---------------------------------------------------------------------------
 // Polygon-pair intersection predicate (port of geo/geometry.py's
 // geometries_intersect inner loop: containment either way, else any boundary
@@ -1216,8 +1283,10 @@ double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t
 // mode 0: polygon dilation — input rings (canonically oriented: shells CCW,
 //   holes CW) enter the winding union together with per-ring quads/wedges.
 // mode 1: open-path dilation — each input "ring" is an open path.
-// mode 2: polygon erosion — input rings (any orientation, even-odd base)
-//   minus the winding union of their boundary halo pieces (op 5).
+// mode 2: polygon erosion — input rings (canonically oriented, even-odd base)
+//   intersected with the winding>0 region of their inward raw offset curves
+//   (op 7), or minus the winding union of boundary halo pieces (op 5) when a
+//   ring degenerates.
 // Returns linked rings like rs_overlay_rings; writes the snap quantum used
 // through out_q (for the caller's collinear-simplification tolerance).
 double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t n_rings,
@@ -1250,37 +1319,85 @@ double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t 
             return out;
         }
     }
-    RingSink pieces;
-    int64_t off = 0;
-    for (int ri = 0; ri < n_rings; ri++) {
-        int len = ring_lens[ri];
-        if (len > 0) {
-            std::vector<Pt> pts(len);
-            for (int i = 0; i < len; i++) pts[i] = Pt{coords[2 * (off + i)], coords[2 * (off + i) + 1]};
-            path_pieces(pts.data(), len, mode != 1, radius, quad_segs, pieces);
-        }
-        off += len;
-    }
-
     Overlay r;
-    if (mode == 2) {
-        r = run_overlay(coords, ring_lens, n_rings, pieces.coords.data(), pieces.lens.data(),
-                        (int)pieces.lens.size(), 5, true);
-    } else {
-        if (mode == 0) {
-            // The dilation must also cover the polygon interiors themselves.
-            RingSink all;
-            all.coords = pieces.coords;
-            all.lens = pieces.lens;
-            int64_t o2 = 0;
-            for (int ri = 0; ri < n_rings; ri++) {
-                all.add_raw(coords + 2 * o2, ring_lens[ri]);
-                o2 += ring_lens[ri];
+    bool done = false;
+    if ((mode == 0 || mode == 2) && radius > 0.0) {
+        // Raw offset curves: one ~n + arcs ring per input ring replaces the
+        // ~n overlapping quad/wedge pieces in the overlay (offset_curve
+        // docstring above; mirrors buffer.py's curve-first construction).
+        // Requires canonically-oriented rings (shells CCW, holes CW) — the
+        // Python caller guarantees this for both modes.
+        std::vector<double> ccoords;
+        std::vector<int32_t> clens;
+        bool all_ok = n_rings > 0;
+        std::vector<Pt> pts, curve;
+        int64_t coff = 0;
+        for (int ri = 0; ri < n_rings && all_ok; ri++) {
+            int len = ring_lens[ri];
+            pts.assign(len, Pt{});
+            for (int i = 0; i < len; i++)
+                pts[i] = Pt{coords[2 * (coff + i)], coords[2 * (coff + i) + 1]};
+            all_ok = len >= 3 && offset_curve(pts.data(), len, radius, quad_segs, mode == 2, curve);
+            if (all_ok) {
+                clens.push_back((int32_t)curve.size());
+                for (const Pt& p : curve) {
+                    ccoords.push_back(p.x);
+                    ccoords.push_back(p.y);
+                }
             }
-            pieces = std::move(all);
+            coff += len;
         }
-        r = run_overlay(pieces.coords.data(), pieces.lens.data(), (int)pieces.lens.size(),
-                        nullptr, nullptr, 0, 4, true);
+        if (all_ok) {
+            if (mode == 2) {
+                // Erosion: in-base (even-odd) AND inward curves wind > 0.
+                r = run_overlay(coords, ring_lens, n_rings, ccoords.data(), clens.data(),
+                                (int)clens.size(), 7, true);
+            } else {
+                // Dilation: winding union of base rings + outward curves.
+                std::vector<double> all_c(coords, coords + 2 * coff);
+                all_c.insert(all_c.end(), ccoords.begin(), ccoords.end());
+                std::vector<int32_t> all_l(ring_lens, ring_lens + n_rings);
+                all_l.insert(all_l.end(), clens.begin(), clens.end());
+                r = run_overlay(all_c.data(), all_l.data(), (int)all_l.size(),
+                                nullptr, nullptr, 0, 4, true);
+            }
+            done = true;
+        }
+    }
+    if (!done) {
+        // Degenerate ring (or open-path mode): the pieces construction,
+        // whose endpoint discs handle collapsed edges.
+        RingSink pieces;
+        int64_t off = 0;
+        for (int ri = 0; ri < n_rings; ri++) {
+            int len = ring_lens[ri];
+            if (len > 0) {
+                std::vector<Pt> pts2(len);
+                for (int i = 0; i < len; i++)
+                    pts2[i] = Pt{coords[2 * (off + i)], coords[2 * (off + i) + 1]};
+                path_pieces(pts2.data(), len, mode != 1, radius, quad_segs, pieces);
+            }
+            off += len;
+        }
+        if (mode == 2) {
+            r = run_overlay(coords, ring_lens, n_rings, pieces.coords.data(), pieces.lens.data(),
+                            (int)pieces.lens.size(), 5, true);
+        } else {
+            if (mode == 0) {
+                // The dilation must also cover the polygon interiors themselves.
+                RingSink all;
+                all.coords = pieces.coords;
+                all.lens = pieces.lens;
+                int64_t o2 = 0;
+                for (int ri = 0; ri < n_rings; ri++) {
+                    all.add_raw(coords + 2 * o2, ring_lens[ri]);
+                    o2 += ring_lens[ri];
+                }
+                pieces = std::move(all);
+            }
+            r = run_overlay(pieces.coords.data(), pieces.lens.data(), (int)pieces.lens.size(),
+                            nullptr, nullptr, 0, 4, true);
+        }
     }
     *out_q = r.q;
     LinkedRings linked = link_rings(r.edges, r.q);
