@@ -71,24 +71,44 @@ def _collect_rings(geom):
     raise ValueError("boolean ops support Polygon/MultiPolygon, got {}".format(type(geom)))
 
 
-def _snap_quantum(rings_a, rings_b):
-    lo, hi = math.inf, -math.inf
+def _overlay_frame(rings_a, rings_b):
+    """(q, sx, sy): snap quantum + local-origin shift for one overlay.
+
+    Every overlay runs in coordinates translated by (-sx, -sy) — the joint
+    bbox center — so the quantum scales with the geometry's EXTENT, not its
+    distance from the origin. The old |coordinate|-scaled quantum was ~2 mm
+    at web-mercator magnitudes (~2e7 m), coarse enough to break trapezoid
+    welding on city-block-sized shapes: erosions randomly collapsed whole
+    merged features to empty and flipped output validity (observed on the
+    10k synthetic-city benchmark; all paths agree once translated). The
+    subtraction is exact where it matters (Sterbenz: inputs within 2x of
+    the center), and any residual half-ulp lands far below the quantum.
+    Mirrored bit-for-bit by the native engine (geometry.cpp run_overlay).
+    """
+    lox = loy = math.inf
+    hix = hiy = -math.inf
     for rings in (rings_a, rings_b):
         for r in rings:
             if len(r):
-                lo = min(lo, float(np.min(r)))
-                hi = max(hi, float(np.max(r)))
-    extent = max(hi - lo, abs(hi), abs(lo), 1e-30)
-    return extent * 1e-10
+                r = np.asarray(r, dtype=np.float64)
+                lox = min(lox, float(np.min(r[:, 0])))
+                hix = max(hix, float(np.max(r[:, 0])))
+                loy = min(loy, float(np.min(r[:, 1])))
+                hiy = max(hiy, float(np.max(r[:, 1])))
+    if not math.isfinite(lox):
+        return 1e-40, 0.0, 0.0
+    extent = max(hix - lox, hiy - loy, 1e-30)
+    return extent * 1e-10, (lox + hix) / 2, (loy + hiy) / 2
 
 
-def _segments_from_rings(rings, tag, q):
-    """Snapped (p, q, tag) segments from rings; drops degenerate edges."""
+def _segments_from_rings(rings, tag, q, sx=0.0, sy=0.0):
+    """Snapped (p, q, tag) segments from rings translated to the overlay
+    frame; drops degenerate edges."""
     segs = []
     for ring in rings:
         if len(ring) < 3:
             continue
-        snapped = np.round(np.asarray(ring, dtype=np.float64) / q) * q
+        snapped = np.round((np.asarray(ring, dtype=np.float64) - [sx, sy]) / q) * q
         n = len(snapped)
         for i in range(n):
             p1 = (snapped[i, 0], snapped[i, 1])
@@ -261,21 +281,35 @@ def _canonical_segments(segs):
     return merged
 
 
-def _overlay(geom_a, geom_b, op, want_geometry):
-    """Core slab overlay. Returns (area, edge soup or None)."""
+def _unshift_edges(edges, sx, sy):
+    if not edges or (sx == 0.0 and sy == 0.0):
+        return edges
+    return [((x1 + sx, y1 + sy), (x2 + sx, y2 + sy)) for (x1, y1), (x2, y2) in edges]
+
+
+def _overlay(geom_a, geom_b, op, want_geometry, frame=None):
+    """Core slab overlay. Returns (area, edge soup or None).
+
+    With `frame` (q, sx, sy) the edges come back in the shifted overlay
+    frame for the caller to weld/link/assemble there (precision: welding and
+    orientation tests stay at extent scale); without it — the standalone /
+    oracle-test entry — edges are translated back to input coordinates.
+    """
     rings_a = _collect_rings(geom_a)
     rings_b = _collect_rings(geom_b)
-    q = _snap_quantum(rings_a, rings_b)
+    unshift = frame is None
+    q, sx, sy = _overlay_frame(rings_a, rings_b) if frame is None else frame
 
-    segs = _segments_from_rings(rings_a, 0, q) + _segments_from_rings(rings_b, 1, q)
+    segs = _segments_from_rings(rings_a, 0, q, sx, sy) + _segments_from_rings(rings_b, 1, q, sx, sy)
     if not segs:
         return 0.0, []
     segs = _split_all_segments(segs, q)
     segs = _canonical_segments(segs)
-    return _sweep(segs, q, op, want_geometry)
+    area, edges = _sweep(segs, q, op, want_geometry)
+    return area, _unshift_edges(edges, sx, sy) if unshift else edges
 
 
-def _overlay_union(rings, want_geometry):
+def _overlay_union(rings, want_geometry, frame=None):
     """N-ary winding-rule union of canonically-oriented rings in ONE overlay.
 
     Shells arrive CCW, holes CW; the union of all inputs is the region with
@@ -283,16 +317,18 @@ def _overlay_union(rings, want_geometry):
     divide-and-conquer tree of pairwise overlays (O(N) boolean_op calls each
     paying Python ring-assembly overhead) that `union_all` used to build.
     """
-    q = _snap_quantum(rings, [])
-    segs = _segments_from_rings(rings, 0, q)
+    unshift = frame is None
+    q, sx, sy = _overlay_frame(rings, []) if frame is None else frame
+    segs = _segments_from_rings(rings, 0, q, sx, sy)
     if not segs:
         return 0.0, []
     segs = _split_all_segments(segs, q)
     segs = _canonical_segments_signed(segs)
-    return _sweep(segs, q, "nunion", want_geometry)
+    area, edges = _sweep(segs, q, "nunion", want_geometry)
+    return area, _unshift_edges(edges, sx, sy) if unshift else edges
 
 
-def _overlay_erode(base_rings, halo_rings, want_geometry):
+def _overlay_erode(base_rings, halo_rings, want_geometry, frame=None):
     """base (even-odd) minus the winding>0 union of halo rings, ONE overlay.
 
     Erosion = P \\ dilate(boundary(P), r): instead of materializing the halo
@@ -300,13 +336,15 @@ def _overlay_erode(base_rings, halo_rings, want_geometry):
     in the pipeline) and then differencing, both membership tests run in the
     same sweep: covered where inside-base and halo winding == 0.
     """
-    q = _snap_quantum(base_rings, halo_rings)
-    segs = _segments_from_rings(base_rings, 0, q) + _segments_from_rings(halo_rings, 1, q)
+    unshift = frame is None
+    q, sx, sy = _overlay_frame(base_rings, halo_rings) if frame is None else frame
+    segs = _segments_from_rings(base_rings, 0, q, sx, sy) + _segments_from_rings(halo_rings, 1, q, sx, sy)
     if not segs:
         return 0.0, []
     segs = _split_all_segments(segs, q)
     segs = _canonical_segments_erode(segs)
-    return _sweep(segs, q, "erode", want_geometry)
+    area, edges = _sweep(segs, q, "erode", want_geometry)
+    return area, _unshift_edges(edges, sx, sy) if unshift else edges
 
 
 def _sweep(segs, q, op, want_geometry):
@@ -611,11 +649,14 @@ def _simplify_collinear(ring, q):
     return kept if len(kept) >= 3 else []
 
 
-def _assemble_polygons(rings, q, presimplified=False):
+def _assemble_polygons(rings, q, presimplified=False, shift=(0.0, 0.0)):
     """Group CCW shells with their CW holes into polygons.
 
     `presimplified` skips the collinear pass for rings the native engine
-    already simplified (same tolerance; re-running it is pure overhead)."""
+    already simplified (same tolerance; re-running it is pure overhead).
+    `shift` translates rings back from the overlay frame to input
+    coordinates — orientation and containment are decided BEFORE the shift,
+    at extent scale, where the shoelace/containment arithmetic is exact."""
     shells = []
     holes = []
     for ring in rings:
@@ -639,6 +680,11 @@ def _assemble_polygons(rings, q, presimplified=False):
                 entry[1].append(hole)
                 break
 
+    sx, sy = shift
+    if sx != 0.0 or sy != 0.0:
+        return MultiPolygon(
+            [Polygon(shell + [sx, sy], [h + [sx, sy] for h in hs]) for shell, hs in polys]
+        )
     return MultiPolygon([Polygon(shell, hs) for shell, hs in polys])
 
 
@@ -650,15 +696,16 @@ def boolean_op(geom_a, geom_b, op):
     """
     rings_a = _collect_rings(geom_a)
     rings_b = _collect_rings(geom_b)
-    q = _snap_quantum(rings_a, rings_b)
 
     lib = _native()
     if lib is not None:
         from robosat_tpu import native
 
-        return _assemble_polygons(native.overlay_rings(rings_a, rings_b, op), q, presimplified=True)
-    _, directed = _overlay(geom_a, geom_b, op, want_geometry=True)
-    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+        return _assemble_polygons(native.overlay_rings(rings_a, rings_b, op), 0.0, presimplified=True)
+    frame = _overlay_frame(rings_a, rings_b)
+    _, directed = _overlay(geom_a, geom_b, op, want_geometry=True, frame=frame)
+    q, sx, sy = frame
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q, shift=(sx, sy))
 
 
 def overlay_iou_areas(geom_a, geom_b):
@@ -729,15 +776,16 @@ def union_all(geoms):
         g = geoms[0]
         return g if isinstance(g, MultiPolygon) else MultiPolygon([g])
     rings = _canonical_union_rings(geoms)
-    q = _snap_quantum(rings, [])
 
     lib = _native()
     if lib is not None:
         from robosat_tpu import native
 
-        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), q, presimplified=True)
-    _, directed = _overlay_union(rings, want_geometry=True)
-    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), 0.0, presimplified=True)
+    frame = _overlay_frame(rings, [])
+    _, directed = _overlay_union(rings, want_geometry=True, frame=frame)
+    q, sx, sy = frame
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q, shift=(sx, sy))
 
 
 def erode(geom, halo_pieces):
@@ -751,15 +799,16 @@ def erode(geom, halo_pieces):
     halo_rings = _canonical_union_rings(halo_pieces)
     if not halo_rings:
         return boolean_op(geom, None, "union")
-    q = _snap_quantum(base_rings, halo_rings)
 
     lib = _native()
     if lib is not None:
         from robosat_tpu import native
 
-        return _assemble_polygons(native.overlay_rings(base_rings, halo_rings, "erode"), q, presimplified=True)
-    _, directed = _overlay_erode(base_rings, halo_rings, want_geometry=True)
-    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+        return _assemble_polygons(native.overlay_rings(base_rings, halo_rings, "erode"), 0.0, presimplified=True)
+    frame = _overlay_frame(base_rings, halo_rings)
+    _, directed = _overlay_erode(base_rings, halo_rings, want_geometry=True, frame=frame)
+    q, sx, sy = frame
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q, shift=(sx, sy))
 
 
 def union_winding_rings(rings):
@@ -773,15 +822,16 @@ def union_winding_rings(rings):
     rings = [np.asarray(r, np.float64) for r in rings if len(r) >= 3]
     if not rings:
         return MultiPolygon([])
-    q = _snap_quantum(rings, [])
 
     lib = _native()
     if lib is not None:
         from robosat_tpu import native
 
-        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), q, presimplified=True)
-    _, directed = _overlay_union(rings, want_geometry=True)
-    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+        return _assemble_polygons(native.overlay_rings(rings, [], "nunion"), 0.0, presimplified=True)
+    frame = _overlay_frame(rings, [])
+    _, directed = _overlay_union(rings, want_geometry=True, frame=frame)
+    q, sx, sy = frame
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q, shift=(sx, sy))
 
 
 def erode_offset(geom, offset_curves):
@@ -796,22 +846,22 @@ def erode_offset(geom, offset_curves):
     curves = [np.asarray(c, np.float64) for c in offset_curves if len(c) >= 3]
     if not curves:
         return boolean_op(geom, None, "union")
-    q = _snap_quantum(base_rings, curves)
 
     lib = _native()
     if lib is not None:
         from robosat_tpu import native
 
         return _assemble_polygons(
-            native.overlay_rings(base_rings, curves, "erode_in"), q, presimplified=True
+            native.overlay_rings(base_rings, curves, "erode_in"), 0.0, presimplified=True
         )
-    segs = _segments_from_rings(base_rings, 0, q) + _segments_from_rings(curves, 1, q)
+    q, sx, sy = _overlay_frame(base_rings, curves)
+    segs = _segments_from_rings(base_rings, 0, q, sx, sy) + _segments_from_rings(curves, 1, q, sx, sy)
     if not segs:
         return MultiPolygon([])
     segs = _split_all_segments(segs, q)
     segs = _canonical_segments_erode(segs)
     _, directed = _sweep(segs, q, "erode_in", True)
-    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q)
+    return _assemble_polygons(_link_rings(_weld_edges(directed, q)), q, shift=(sx, sy))
 
 
 def union_all_area(geoms):

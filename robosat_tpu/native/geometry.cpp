@@ -116,6 +116,8 @@ struct Overlay {
     double area = 0.0;
     double area2 = 0.0;         // op 6 (iou): union area alongside intersection
     double q = 0.0;             // snap quantum used
+    double sx = 0.0, sy = 0.0;  // local-origin shift: edges are in the
+                                // shifted frame; add (sx, sy) to restore
     std::vector<double> edges;  // x1,y1,x2,y2 per directed edge
 };
 
@@ -124,24 +126,31 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                     int op, bool want_edges) {
     Overlay result;
 
-    // Snap quantum from the joint extent (mirrors _snap_quantum).
-    double lo = INFINITY, hi = -INFINITY;
+    // Overlay frame — snap quantum + local-origin shift (mirrors
+    // _overlay_frame in clip.py bit-for-bit; see its docstring for why the
+    // quantum must scale with the EXTENT, not the coordinate magnitude).
+    double lox = INFINITY, hix = -INFINITY, loy = INFINITY, hiy = -INFINITY;
     auto scan = [&](const double* c, const int32_t* r, int n) {
         int64_t total = 0;
         for (int i = 0; i < n; i++) total += r[i];
-        for (int64_t i = 0; i < 2 * total; i++) {
-            lo = std::min(lo, c[i]);
-            hi = std::max(hi, c[i]);
+        for (int64_t i = 0; i < total; i++) {
+            lox = std::min(lox, c[2 * i]);
+            hix = std::max(hix, c[2 * i]);
+            loy = std::min(loy, c[2 * i + 1]);
+            hiy = std::max(hiy, c[2 * i + 1]);
         }
     };
     if (n_rings_a) scan(coords_a, rings_a, n_rings_a);
     if (n_rings_b) scan(coords_b, rings_b, n_rings_b);
-    if (!std::isfinite(lo)) return result;
-    double extent = std::max(std::max(hi - lo, std::fabs(hi)), std::max(std::fabs(lo), 1e-30));
+    if (!std::isfinite(lox)) return result;
+    double extent = std::max(std::max(hix - lox, hiy - loy), 1e-30);
     double q = extent * 1e-10;
     result.q = q;
+    double sx = (lox + hix) / 2, sy = (loy + hiy) / 2;
+    result.sx = sx;
+    result.sy = sy;
 
-    // Snapped segments with per-tag parity.
+    // Snapped segments with per-tag parity, translated to the local frame.
     std::vector<Seg> segs;
     auto add_rings = [&](const double* c, const int32_t* r, int n, int tag) {
         int64_t off = 0;
@@ -150,7 +159,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             if (len >= 3) {
                 std::vector<Pt> snapped(len);
                 for (int i = 0; i < len; i++)
-                    snapped[i] = Pt{snap(c[2 * (off + i)], q), snap(c[2 * (off + i) + 1], q)};
+                    snapped[i] = Pt{snap(c[2 * (off + i)] - sx, q), snap(c[2 * (off + i) + 1] - sy, q)};
                 for (int i = 0; i < len; i++) {
                     Pt p1 = snapped[i], p2 = snapped[(i + 1) % len];
                     if (!(p1 == p2)) segs.push_back(Seg{p1, p2, tag == 0, tag == 1});
@@ -1258,7 +1267,11 @@ double* rs_overlay_edges(const double* coords_a, const int32_t* rings_a, int32_t
     Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
     *out_count = (int64_t)(r.edges.size() / 4);
     double* out = (double*)std::malloc(r.edges.size() * sizeof(double));
-    if (out) std::copy(r.edges.begin(), r.edges.end(), out);
+    if (out)
+        for (size_t i = 0; i < r.edges.size(); i += 2) {
+            out[i] = r.edges[i] + r.sx;
+            out[i + 1] = r.edges[i + 1] + r.sy;
+        }
     return out;
 }
 
@@ -1270,12 +1283,16 @@ double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t
                          const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
                          int32_t op, int32_t** out_lens, int64_t* out_n_rings) {
     Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
-    LinkedRings linked = link_rings(r.edges, r.q);
+    LinkedRings linked = link_rings(r.edges, r.q);  // links in the shifted frame
     *out_n_rings = (int64_t)linked.lens.size();
     *out_lens = (int32_t*)std::malloc(std::max(linked.lens.size(), (size_t)1) * sizeof(int32_t));
     if (*out_lens) std::copy(linked.lens.begin(), linked.lens.end(), *out_lens);
     double* out = (double*)std::malloc(std::max(linked.coords.size(), (size_t)1) * sizeof(double));
-    if (out) std::copy(linked.coords.begin(), linked.coords.end(), out);
+    if (out)
+        for (size_t i = 0; i < linked.coords.size(); i += 2) {
+            out[i] = linked.coords[i] + r.sx;
+            out[i + 1] = linked.coords[i + 1] + r.sy;
+        }
     return out;
 }
 
@@ -1400,12 +1417,16 @@ double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t 
         }
     }
     *out_q = r.q;
-    LinkedRings linked = link_rings(r.edges, r.q);
+    LinkedRings linked = link_rings(r.edges, r.q);  // links in the shifted frame
     *out_n_rings = (int64_t)linked.lens.size();
     *out_lens = (int32_t*)std::malloc(std::max(linked.lens.size(), (size_t)1) * sizeof(int32_t));
     if (*out_lens) std::copy(linked.lens.begin(), linked.lens.end(), *out_lens);
     double* out = (double*)std::malloc(std::max(linked.coords.size(), (size_t)1) * sizeof(double));
-    if (out) std::copy(linked.coords.begin(), linked.coords.end(), out);
+    if (out)
+        for (size_t i = 0; i < linked.coords.size(); i += 2) {
+            out[i] = linked.coords[i] + r.sx;
+            out[i + 1] = linked.coords[i + 1] + r.sy;
+        }
     return out;
 }
 
