@@ -24,12 +24,15 @@ short and a long chain isolates pure device time per batch. Prints exactly
 one JSON line.
 """
 
+import glob
 import json
+import os
 import time
 
 import numpy as np
 
 TARGET = 5000.0  # tiles/sec/chip (BASELINE.json north star)
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache.json")
 
 
 def _timed(fn, *args):
@@ -38,46 +41,94 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
-def _device_watchdog(timeout_s=180.0):
-    """Probe jax device discovery in a subprocess with a hard timeout.
+def _device_watchdog(probe_timeouts=(60.0, 120.0, 180.0, 240.0)):
+    """Probe jax device discovery in subprocesses with retry + backoff.
 
     The axon tunnel has been observed DYING mid-session (round 3: repeated
     remote-compile crashes killed the host-side relay), after which even
     jax.devices() blocks forever in the PJRT client. A hung benchmark would
-    stall the driver's round-end pipeline, so fail fast with an error line
-    instead.
+    stall the driver's round-end pipeline, so probe in a killable subprocess.
+    The tunnel also flaps (round-4 end: down for the driver's run, back up
+    hours later), so one 180 s probe is too eager to give up: retry with
+    growing timeouts over ~10 minutes total before declaring it down.
     """
     import subprocess
     import sys
 
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s,
-            capture_output=True,
-            text=True,
+    for i, timeout_s in enumerate(probe_timeouts):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+            )
+            if probe.returncode == 0 and "ok" in probe.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            "device probe {}/{} failed (timeout {}s)".format(i + 1, len(probe_timeouts), timeout_s),
+            file=sys.stderr,
+            flush=True,
         )
-        return probe.returncode == 0 and "ok" in probe.stdout
-    except subprocess.TimeoutExpired:
-        return False
+        if i + 1 < len(probe_timeouts):
+            time.sleep(15.0 * (i + 1))
+    return False
+
+
+def _last_good_artifact():
+    """Most recent BENCH_r*.json with a non-zero value, for the fallback line."""
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            parsed = data.get("parsed", data)
+            if parsed.get("value", 0.0) > 0.0:
+                best = (os.path.basename(path), parsed["value"])
+        except Exception:  # noqa: BLE001 — a malformed artifact must not sink the fallback
+            continue
+    return best
+
+
+def _emit_unreachable():
+    """TPU down: emit the last in-session sweep (bench_cache.json) if one
+    exists, marked `"cached": true`, so a dead tunnel still leaves auditable
+    data; otherwise cite the most recent good driver artifact dynamically."""
+    err = "TPU unreachable: device discovery hung (axon tunnel down)"
+    if os.path.exists(CACHE_PATH):
+        try:
+            with open(CACHE_PATH) as f:
+                payload = json.load(f)
+            payload["cached"] = True
+            payload["error"] = err + "; emitting last good in-session sweep (see cached_at)"
+            print(json.dumps(payload))
+            return
+        except Exception:  # noqa: BLE001 — corrupt cache falls through to the bare line
+            pass
+    last = _last_good_artifact()
+    if last is not None:
+        err += "; last good driver artifact {} ({})".format(last[1], last[0])
+    print(
+        json.dumps(
+            {
+                "metric": "predict_tiles_per_sec_512px",
+                "value": 0.0,
+                "unit": "tiles/s/chip",
+                "vs_baseline": 0.0,
+                "error": err,
+            }
+        )
+    )
 
 
 def main():
-    import os
     import sys
 
     if not _device_watchdog():
-        print(
-            json.dumps(
-                {
-                    "metric": "predict_tiles_per_sec_512px",
-                    "value": 0.0,
-                    "unit": "tiles/s/chip",
-                    "vs_baseline": 0.0,
-                    "error": "TPU unreachable: device discovery hung (axon tunnel down); last good measurement 892.8 (BENCH_r02)",
-                }
-            )
-        )
+        _emit_unreachable()
         return
 
     import jax
@@ -195,10 +246,14 @@ def main():
             return int(salt)  # single 4-byte fetch: one tunnel round trip
 
         run_chain(2)  # compile + warmup
-        # Pairwise marginals, best POSITIVE margin: latency drift between a
-        # t_short batch and a t_long batch minutes apart produced negative
-        # margins (clamped to absurd rates) in round 4; pairing them
-        # back-to-back bounds the drift window to one chain.
+        # Pairwise marginals, MEDIAN of positive margins: latency drift
+        # between a t_short batch and a t_long batch minutes apart produced
+        # negative margins (clamped to absurd rates) in round 4; pairing them
+        # back-to-back bounds the drift window to one chain. min() over the
+        # positive margins was optimistically biased (a spike during the
+        # short chain shrinks that pair's margin while staying positive and
+        # min() selects exactly that draw — round-4 ADVICE), so report the
+        # median with the spread alongside.
         short, long_ = 2, 12
         margins = []
         for _ in range(reps):
@@ -208,7 +263,7 @@ def main():
         positive = [m for m in margins if m > 0]
         if not positive:
             raise RuntimeError("all margins non-positive (tunnel drift): {}".format(margins))
-        return min(positive)
+        return float(np.median(positive)), (min(positive), max(positive))
 
     sweep = {}
     # The experimental Pallas-tail cells are opt-in (BENCH_PALLAS=1) and run
@@ -233,8 +288,12 @@ def main():
         key = "{}/{}/b{}".format(dtype, layout, batch)
         is_headline = dtype == "int8" and layout == "blocked" and batch == headline_batch
         try:
-            per_batch = measure(dtype, layout, batch, reps=5 if is_headline else 3)
-            sweep[key] = {"ms_per_batch": round(per_batch * 1e3, 3), "tiles_per_s": round(batch / per_batch, 1)}
+            per_batch, (lo, hi) = measure(dtype, layout, batch, reps=5 if is_headline else 3)
+            sweep[key] = {
+                "ms_per_batch": round(per_batch * 1e3, 3),
+                "tiles_per_s": round(batch / per_batch, 1),
+                "ms_spread": [round(lo * 1e3, 3), round(hi * 1e3, 3)],
+            }
         except Exception as exc:  # noqa: BLE001 — a cell must not sink the headline
             sweep[key] = {"error": str(exc)[:160]}
         print("{}: {}".format(key, sweep[key]), file=sys.stderr, flush=True)
@@ -299,10 +358,8 @@ def main():
 
         run_chain(2)
         short, long_ = 2, 12
-        # Pairwise marginals: latency drift between a t_short batch and a
-        # t_long batch minutes later produced negative/absurd margins in
-        # earlier rounds; pairing them back-to-back and taking the best
-        # POSITIVE margin is robust to drift in either direction.
+        # Pairwise marginals, median of positive margins (same estimator and
+        # rationale as measure() above).
         margins = []
         for _ in range(reps):
             t_s = _timed(run_chain, short)
@@ -311,8 +368,12 @@ def main():
         positive = [m for m in margins if m > 0]
         if not positive:
             return {"error": "all margins non-positive (tunnel drift): {}".format(margins)}
-        per_batch = min(positive)
-        return {"ms_per_batch": round(per_batch * 1e3, 3), "tiles_per_s": round(batch / per_batch, 1)}
+        per_batch = float(np.median(positive))
+        return {
+            "ms_per_batch": round(per_batch * 1e3, 3),
+            "tiles_per_s": round(batch / per_batch, 1),
+            "ms_spread": [round(min(positive) * 1e3, 3), round(max(positive) * 1e3, 3)],
+        }
 
     family_cells = [
         ("fast", "int8", "blocked", 8),
@@ -336,18 +397,24 @@ def main():
     per_chip = headline.get("tiles_per_s", 0.0)
     fast_cell = sweep.get("fast/int8/blocked/b{}".format(headline_batch), {})
 
-    print(
-        json.dumps(
-            {
-                "metric": "predict_tiles_per_sec_512px",
-                "value": round(per_chip, 2),
-                "unit": "tiles/s/chip",
-                "vs_baseline": round(per_chip / TARGET, 4),
-                "fast_family_tiles_per_s": fast_cell.get("tiles_per_s"),
-                "sweep": sweep,
-            }
-        )
-    )
+    payload = {
+        "metric": "predict_tiles_per_sec_512px",
+        "value": round(per_chip, 2),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(per_chip / TARGET, 4),
+        "fast_family_tiles_per_s": fast_cell.get("tiles_per_s"),
+        "sweep": sweep,
+    }
+    if per_chip > 0:
+        # Persist the sweep so a later run on a dead tunnel (the driver's
+        # round-end run has hit this) can emit it marked "cached": true
+        # instead of a bare 0.0 — see _emit_unreachable().
+        try:
+            with open(CACHE_PATH, "w") as f:
+                json.dump(dict(payload, cached_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())), f)
+        except OSError:
+            pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

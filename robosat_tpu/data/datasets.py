@@ -77,6 +77,26 @@ class SlippyMapTilesConcatenation:
         return np.concatenate(images, axis=-1), mask.astype(np.int32), tiles[0]
 
 
+def _shard_slice(items, shard):
+    """The `i`-th of `n` contiguous blocks of a deterministic item list.
+
+    Contiguous (not strided) so a shard keeps the column-major traversal
+    locality the decode LRU relies on, and so the union over all shards is
+    exactly the full list with no overlap. `tiles_from_slippy_map` yields in
+    sorted (z, x, y) order, making the split stable across processes/hosts —
+    the basis of `rs predict --shard i/n` (each worker writes a disjoint
+    slice of the same slippy-map output tree; the reference's analogous
+    embarrassingly-parallel pattern is its download worker pool,
+    robosat/tools/download.py:33-38).
+    """
+    i, n = shard
+    if not (0 <= i < n):
+        raise ValueError("shard index {} out of range for {} shards".format(i, n))
+    lo = i * len(items) // n
+    hi = (i + 1) * len(items) // n
+    return items[lo:hi]
+
+
 class BufferedSlippyMapDirectory:
     """Tiles composited with `overlap` pixels of 3x3-neighbor context.
 
@@ -84,7 +104,7 @@ class BufferedSlippyMapDirectory:
     overlap crop happens on-device in the predict step rather than here.
     """
 
-    def __init__(self, root, size=512, overlap=32, cache_tiles=256, transform=None):
+    def __init__(self, root, size=512, overlap=32, cache_tiles=256, transform=None, shard=None):
         assert overlap >= 0
         # The reference asserts size >= 256 (robosat/datasets.py:104); relaxed
         # to the model's minimum so small tiles remain testable on CPU.
@@ -94,7 +114,12 @@ class BufferedSlippyMapDirectory:
         self.overlap = overlap
         self.transform = transform
         self.tiles = list(tiles_from_slippy_map(root))
+        # Neighbor context always comes from the FULL directory, so sharding
+        # only the center-tile list below keeps every shard's output
+        # byte-identical to the corresponding slice of an unsharded run.
         self._by_tile = dict(self.tiles)
+        if shard is not None:
+            self.tiles = _shard_slice(self.tiles, shard)
 
         # Buffering reads every tile up to 9x (once as center, 8x as a
         # neighbor). An LRU over decoded tiles turns that into ~1 decode per
@@ -150,9 +175,10 @@ class StripBufferedSlippyMapDirectory:
     Items: (strip image HWC uint8, (column tiles list, valid count)).
     """
 
-    def __init__(self, root, size=512, overlap=32, strip=8, cache_tiles=256):
+    def __init__(self, root, size=512, overlap=32, strip=8, cache_tiles=256, shard=None):
         assert overlap >= 0 and strip >= 1
         assert size >= 32
+        self._shard = shard
 
         self.size = size
         self.overlap = overlap
@@ -179,6 +205,11 @@ class StripBufferedSlippyMapDirectory:
                     self._chunk_run(z, x, run)
                     run = [y]
             self._chunk_run(z, x, run)
+        if self._shard is not None:
+            # Shard whole strips (built from the full tile list, so strip
+            # boundaries are shard-invariant and outputs stay byte-identical
+            # to the unsharded run's corresponding slice).
+            self.strips = _shard_slice(self.strips, self._shard)
 
     def _chunk_run(self, z, x, run):
         from robosat_tpu.geo.tilemath import Tile

@@ -82,6 +82,13 @@ def _offset_curve(coords, radius, quad_segs, inward):
     for i in range(n):
         prev = (i - 1) % n
         turn = (theta[i] - theta[prev] + math.pi) % (2.0 * math.pi) - math.pi
+        if abs(abs(turn) - math.pi) < 1e-9:
+            # Spike / collinear-reversal vertex: the modulo maps a +-pi turn
+            # to -pi regardless of which join the gap demands, so a dilation
+            # spike tip would get the 3-point pinch instead of the half-disc
+            # cap. Degenerate ring: let callers use the pieces construction,
+            # whose vertex discs cover the tip exactly.
+            return None
         v = coords[i]
         if abs(turn) < 1e-12:
             pts.append(v[None, :] + radius * np.array([[math.cos(phi[i]), math.sin(phi[i])]]))

@@ -241,7 +241,14 @@ def point_in_ring(point, ring):
 
 
 class Geometry:
-    """Base class for planar geometries."""
+    """Base class for planar geometries.
+
+    Coordinate arrays (Polygon.shell / .holes, LineString.coords) are treated
+    as IMMUTABLE once constructed: bounds and native-engine packed-coordinate
+    buffers cache on the instance keyed by identity. The first cache access
+    marks the arrays read-only (numpy setflags) so an in-place mutation that
+    would silently stale those caches raises at write time instead.
+    """
 
     geom_type = None
 
@@ -268,6 +275,7 @@ class LineString(Geometry):
     def bounds(self):
         b = getattr(self, "_bounds", None)
         if b is None:
+            self.coords.setflags(write=False)  # cache staleness guard (see Geometry)
             lo = self.coords.min(axis=0)
             hi = self.coords.max(axis=0)
             b = self._bounds = (float(lo[0]), float(lo[1]), float(hi[0]), float(hi[1]))
@@ -304,6 +312,7 @@ class Polygon(Geometry):
         # build calls bounds O(candidate-pairs) times per geometry.
         b = getattr(self, "_bounds", None)
         if b is None:
+            self.shell.setflags(write=False)  # cache staleness guard (see Geometry)
             lo = self.shell.min(axis=0)
             hi = self.shell.max(axis=0)
             b = self._bounds = (float(lo[0]), float(lo[1]), float(hi[0]), float(hi[1]))

@@ -176,6 +176,12 @@ def _pack_polygon_cached(poly):
     cached = getattr(poly, "_native_pack", None)
     if cached is None:
         rings = list(poly.rings)
+        for r in rings:
+            # Cache staleness guard: a later in-place ring mutation would
+            # silently leave these packed buffers stale (wrong intersection
+            # predicates, no error) — freeze so it raises at write time.
+            if isinstance(r, np.ndarray):
+                r.setflags(write=False)
         coords = np.ascontiguousarray(np.concatenate([np.asarray(r, np.float64).reshape(-1, 2) for r in rings]))
         lens = np.asarray([len(r) for r in rings], np.int32)
         # The pointer objects are as cacheable as the arrays they reference

@@ -873,6 +873,11 @@ bool offset_curve(const Pt* in, int n_in, double r, int quad_segs, bool inward,
         double m = std::fmod(theta[i] - theta[prev] + M_PI, 2.0 * M_PI);
         if (m < 0.0) m += 2.0 * M_PI;  // Python % semantics
         double turn = m - M_PI;
+        // Spike / collinear-reversal vertex: a +-pi turn always lands on
+        // -pi, which would pinch-join a dilation spike tip instead of
+        // capping it with a half disc. Degenerate ring: fall back to the
+        // pieces construction (mirrors buffer.py _offset_curve).
+        if (std::fabs(std::fabs(turn) - M_PI) < 1e-9) return false;
         const Pt& v = d[i];
         if (std::fabs(turn) < 1e-12) {
             out.push_back(Pt{v.x + r * std::cos(phi[i]), v.y + r * std::sin(phi[i])});

@@ -463,6 +463,7 @@ def make_distill_train_step(
     remat=False,
     alpha=0.9,
     temp=2.0,
+    s2d_tail=True,
 ):
     """Compiled knowledge-distillation training step (`rs train --teacher`).
 
@@ -488,7 +489,10 @@ def make_distill_train_step(
     Reference context: the reference trains one fixed architecture
     (robosat/tools/train.py:69-77) and has no distillation story.
     """
-    forward = model.apply_s2d if hasattr(model, "apply_s2d") else model.apply
+    # s2d_tail mirrors make_train_step / make_eval_step: opt out of the
+    # space-to-depth decoder tail for parity/debug comparisons against the
+    # plain apply path (round-4 ADVICE).
+    forward = model.apply_s2d if (s2d_tail and hasattr(model, "apply_s2d")) else model.apply
     if remat:
         forward = jax.checkpoint(forward, static_argnums=(3,))
     t_forward = teacher_model.apply_folded

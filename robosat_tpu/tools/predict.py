@@ -46,6 +46,16 @@ def add_parser(subparser):
     )
     parser.add_argument("--tile_size", type=int, required=True, help="side length of the input tiles in pixels")
     parser.add_argument("--workers", type=int, default=0, help="decode/encode worker threads")
+    parser.add_argument(
+        "--shard",
+        type=str,
+        default=None,
+        metavar="I/N",
+        help="process only the I-th of N contiguous blocks of the tile list "
+        "(0-based); run one `rs predict --shard i/n` per host/process against "
+        "the same output directory to spread the host-bound decode/encode "
+        "cost — the union of all N runs is byte-identical to an unsharded run",
+    )
     parser.add_argument("tiles", type=str, help="slippy map directory with input imagery")
     parser.add_argument("probs", type=str, help="slippy map directory for the probability tiles")
     parser.add_argument("--model", type=str, required=True, help="path to model configuration file")
@@ -139,9 +149,19 @@ def main(args):
         and buffered_side % 4 == 0
     )
 
+    shard = None
+    shard_arg = getattr(args, "shard", None)
+    if shard_arg is not None:
+        try:
+            i_s, n_s = shard_arg.split("/")
+            shard = (int(i_s), int(n_s))
+            assert 0 <= shard[0] < shard[1]
+        except (ValueError, AssertionError):
+            sys.exit("Error: --shard must be I/N with 0 <= I < N (got {!r})".format(shard_arg))
+
     if args.strip > 1:
         directory = StripBufferedSlippyMapDirectory(
-            args.tiles, size=args.tile_size, overlap=args.overlap, strip=args.strip
+            args.tiles, size=args.tile_size, overlap=args.overlap, strip=args.strip, shard=shard
         )
         total_tiles = sum(len(s) for s in directory.strips)
     else:
@@ -153,9 +173,13 @@ def main(args):
                 return space_to_depth4(image[None])[0]
 
         directory = BufferedSlippyMapDirectory(
-            args.tiles, size=args.tile_size, overlap=args.overlap, transform=transform
+            args.tiles, size=args.tile_size, overlap=args.overlap, transform=transform, shard=shard
         )
         total_tiles = len(directory)
+    if shard is not None and len(directory) == 0:
+        # More shards than tiles: this worker's block is legitimately empty.
+        print("shard {}/{}: no tiles in this block, nothing to do".format(*shard))
+        return {"tiles": 0, "steady_s": 0.0}
     assert len(directory) > 0, "at least one tile in dataset"
 
     # Round the batch up to a multiple of the mesh size so the batch axis

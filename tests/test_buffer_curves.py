@@ -58,6 +58,15 @@ _DONUT = Polygon(
     np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),
     [np.array([[4.0, 4.0], [4.0, 6.0], [6.0, 6.0], [6.0, 4.0]])],
 )
+# Zero-width spike (exact collinear reversal at (5,14)): the +-pi turn must
+# kick _offset_curve back to the pieces construction, whose vertex disc caps
+# the tip — the pinch join under-covered a half-disc there (round-4 ADVICE).
+_SPIKE = Polygon(
+    np.array(
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 10.0],
+         [5.0, 14.0], [5.0, 10.0], [0.0, 10.0]]
+    )
+)
 _TWO = MultiPolygon(
     [
         Polygon(np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [0.0, 3.0]])),
@@ -78,6 +87,8 @@ CASES = [
     ("donut-erode-deep", _DONUT, -1.99),   # shell and hole rails near-touch
     ("two-dilate-merge", _TWO, 0.6),       # disjoint dilations weld
     ("two-erode", _TWO, -1.4),
+    ("spike-dilate", _SPIKE, 1.0),         # tip needs the half-disc cap
+    ("spike-erode", _SPIKE, -0.8),
 ]
 CASES += [(f"star{s}d{d}", _star(s, 0.0, 0.0), d) for s in range(3) for d in (1.2, -0.7)]
 
@@ -120,3 +131,14 @@ def test_offset_curve_degenerate_ring_falls_back():
     # Explicitly closed triangle with a duplicated vertex still works.
     tri = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 0.0], [1.0, 2.0], [0.0, 0.0]])
     assert buffer_mod._offset_curve(tri, 0.5, 8, inward=False) is not None
+    # A spike (exact +-pi collinear-reversal turn) must fall back too: the
+    # modulo maps it to -pi, which would pinch-join the tip instead of
+    # capping it (round-4 ADVICE).
+    spike = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 4.0], [2.0, 7.0], [2.0, 4.0], [0.0, 4.0]])
+    assert buffer_mod._offset_curve(spike, 0.5, 8, inward=False) is None
+    assert buffer_mod._offset_curve(spike, 0.5, 8, inward=True) is None
+    # Beyond-the-tip coverage: the dilation must contain the half-disc cap.
+    dil = _curves(_SPIKE, 1.0)
+    tip_probe = Polygon(np.array([[4.9, 14.5], [5.1, 14.5], [5.1, 14.6], [4.9, 14.6]]))
+    inter = clip.boolean_op(dil, MultiPolygon([tip_probe]), "intersection")
+    assert sum(p.area for p in inter.geoms) == pytest.approx(tip_probe.area, rel=1e-9)

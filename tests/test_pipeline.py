@@ -176,6 +176,34 @@ def test_full_pipeline(workspace):
     assert prob_img.mode == "P"
     assert prob_img.size == (SIZE, SIZE)
 
+    # --- sharded predict: two `--shard i/2` runs into one directory must
+    # reproduce the unsharded output byte-identically, each writing a
+    # disjoint non-empty block (multi-process/host tile sharding).
+    shard_counts = []
+    for i in range(2):
+        predict.main(
+            argparse.Namespace(
+                batch_size=4,
+                checkpoint=str(ckpt),
+                overlap=32,
+                strip=1,
+                tile_size=SIZE,
+                workers=2,
+                shard="{}/2".format(i),
+                tiles=str(root / "images"),
+                probs=str(root / "probs_sharded"),
+                model=str(root / "model.toml"),
+                dataset=str(root / "dataset.toml"),
+                profile=None,
+            )
+        )
+        shard_counts.append(len(list((root / "probs_sharded").rglob("*.png"))))
+    full = sorted(p.relative_to(root / "probs") for p in (root / "probs").rglob("*.png"))
+    sharded = sorted(p.relative_to(root / "probs_sharded") for p in (root / "probs_sharded").rglob("*.png"))
+    assert sharded == full and 0 < shard_counts[0] < shard_counts[1]
+    for rel in full:
+        assert (root / "probs_sharded" / rel).read_bytes() == (root / "probs" / rel).read_bytes()
+
     # --- masks from probabilities.
     masks.main(argparse.Namespace(masks=str(root / "masks"), probs=[str(root / "probs")], weights=None))
     mask_png = root / "masks" / "18" / str(TILES[0].x) / "{}.png".format(TILES[0].y)
