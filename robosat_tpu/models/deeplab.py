@@ -194,35 +194,32 @@ def predict_quantized_folded(folded, x, overlap=0):
 # ---------------------------------------------------------------------------
 
 
-def quantize_folded_int8(folded):
+def quantize_folded_int8(folded, act_amaxes=None):
     """BN-folded DeepLab params -> hybrid int8 tree: backbone bottlenecks,
     ASPP branches/projection, and decoder convs quantized per-output-channel;
     stem, ASPP pool branch, low-level projection, and classifier stay float
-    (tiny or narrow — lane-padding erases the int8 win there)."""
+    (tiny or narrow — lane-padding erases the int8 win there).
+
+    `act_amaxes` ("pc" calibration): per-site per-input-channel activation
+    range vectors; balanced fold scales bake into the kernels
+    (int8.ScaleCursor) and the function returns (qtree, scale_vectors).
+    Consumption follows _walk_int8's conv-site order exactly: encoder
+    stages, aspp1, aspp_d{i}, aspp_proj, dec1, dec2."""
     from robosat_tpu.models import int8 as q8
 
-    enc = folded["encoder"]
-    qenc = {"conv1": dict(enc["conv1"])}
-    from robosat_tpu.models.resnet import RESNET50_STAGES
-
-    for si, (blocks, _) in enumerate(RESNET50_STAGES):
-        name = "layer{}".format(si + 1)
-        stage = []
-        for bi in range(blocks):
-            fb = enc[name][bi]
-            qb = {k: q8._qconv(fb[k]) for k in ("conv1", "conv2", "conv3")}
-            if "down_conv" in fb:
-                qb["down_conv"] = q8._qconv(fb["down_conv"])
-            stage.append(qb)
-        qenc[name] = stage
-
-    q = {"encoder": qenc}
-    for key in ("aspp1", "aspp_proj", "dec1", "dec2"):
-        q[key] = q8._qconv(folded[key])
+    cursor = q8.ScaleCursor(act_amaxes)
+    q = {"encoder": q8.quantize_encoder_stages(folded["encoder"], cursor)}
+    q["aspp1"] = q8._qconv_pc(folded["aspp1"], cursor)
     for i, _ in enumerate(ASPP_RATES):
-        q["aspp_d{}".format(i)] = q8._qconv(folded["aspp_d{}".format(i)])
+        q["aspp_d{}".format(i)] = q8._qconv_pc(folded["aspp_d{}".format(i)], cursor)
+    q["aspp_proj"] = q8._qconv_pc(folded["aspp_proj"], cursor)
+    q["dec1"] = q8._qconv_pc(folded["dec1"], cursor)
+    q["dec2"] = q8._qconv_pc(folded["dec2"], cursor)
+    cursor.assert_done()
     for key in ("aspp_pool", "lowlevel", "final"):
         q[key] = dict(folded[key])
+    if act_amaxes is not None:
+        return q, cursor.out_scales
     return q
 
 
@@ -276,6 +273,8 @@ def calibration_amaxes_int8(folded, x, compute_dtype=jnp.float32, blocked=False,
 
     sites = q8._Sites(scales=None, percentile=percentile)
     _walk_int8(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True, blocked=blocked)
+    if q8.is_per_channel(percentile):
+        return [t.astype(jnp.float32) for t in sites.taps]
     return jnp.stack(sites.taps).astype(jnp.float32)
 
 

@@ -266,35 +266,58 @@ def predict_quantized_folded(folded, x, overlap=0):
 # ---------------------------------------------------------------------------
 
 
-def quantize_folded_int8(folded):
+def quantize_folded_int8(folded, act_amaxes=None):
     """Folded tree -> int8 tree: per-output-channel weight quantization, the
     fused-upsample decoder kernels quantized in their 4x4 transposed-conv
     form (models/int8._fused_k4) so the int8 graph keeps the fast shapes;
-    the sub-pixel head stays float."""
-    from robosat_tpu.models.int8 import _fused_k4, _qconv, _qkernel
+    the sub-pixel head stays float.
 
+    `act_amaxes` ("pc" calibration): per-site per-input-channel activation
+    range vectors in walk order (_ENC then _DEC — exactly _walk48's conv
+    order); balanced fold scales bake into the kernels (int8.ScaleCursor)
+    and the function returns (qtree, scale_vectors) for the walk."""
+    from robosat_tpu.models.int8 import ScaleCursor, _fused_k4, _qconv_pc, _qkernel_pc
+
+    cursor = ScaleCursor(act_amaxes)
     q = {}
     for name in _ENC:
-        q[name] = _qconv(folded[name])
+        q[name] = _qconv_pc(folded[name], cursor)
     for name in _DEC:
         if name.startswith("u"):
-            q[name] = _qkernel(_fused_k4(jnp.asarray(folded[name]["w"], jnp.float32)))
+            q[name] = _qkernel_pc(_fused_k4(jnp.asarray(folded[name]["w"], jnp.float32)), cursor)
         else:
-            q[name] = _qconv(folded[name])
+            q[name] = _qconv_pc(folded[name], cursor)
+    cursor.assert_done()
     q["final"] = dict(folded["final"])
+    if act_amaxes is not None:
+        return q, cursor.out_scales
     return q
 
 
-def _walk48_sites(tree, x48, sites, float_mode, compute_dtype=jnp.bfloat16):
+def _walk48_sites(tree, x48, sites, float_mode, compute_dtype=jnp.bfloat16, fake_quant=False):
     """The walk with positional conv-site scale consumption (calibration and
-    int8 inference visit sites in the same order)."""
-    from robosat_tpu.models.int8 import _int8_conv
+    int8 inference visit sites in the same order).
+
+    `fake_quant` (float_mode with consumed scales — QAT): every site
+    quantize-dequantizes its input with the static site scale and its kernel
+    with live per-output-channel scales via the straight-through estimator
+    (models/int8.fake_quant_{act,weight}), so the forward matches the int8
+    datapath's values while staying differentiable. Up-convs fake-quant the
+    REWRITTEN 4x4 transposed-conv kernel (int8._fused_k4) — the exact tensor
+    quantize_folded_int8 grids."""
+    from robosat_tpu.models.int8 import _fused_k4, _int8_conv, fake_quant_act, fake_quant_weight
+    from robosat_tpu.models.layers import CONV_DIMS
 
     def conv(name, xx, stride=1, dilation=1):
         scale = sites.next_scale(xx)
         pad = ((dilation, dilation),) * 2 if dilation > 1 else "SAME"
         if float_mode:
             node = tree[name]
+            if fake_quant:
+                fq = {"w": fake_quant_weight(jnp.asarray(node["w"], jnp.float32)).astype(xx.dtype)}
+                if "b" in node:
+                    fq["b"] = node["b"]
+                node, xx = fq, fake_quant_act(xx, scale)
             if "b" in node:
                 return conv_bias_apply(node, xx, stride=stride, dilation=dilation, padding=pad)
             return conv_apply(node, xx, stride=stride, dilation=dilation, padding=pad)
@@ -305,6 +328,12 @@ def _walk48_sites(tree, x48, sites, float_mode, compute_dtype=jnp.bfloat16):
     def upconv(name, xx):
         scale = sites.next_scale(xx)
         if float_mode:
+            if fake_quant:
+                k4 = fake_quant_weight(_fused_k4(jnp.asarray(tree[name]["w"], jnp.float32))).astype(xx.dtype)
+                return jax.lax.conv_general_dilated(
+                    fake_quant_act(xx, scale), k4, (1, 1), ((2, 2), (2, 2)),
+                    lhs_dilation=(2, 2), dimension_numbers=CONV_DIMS,
+                )
             return fused_upsample_conv3x3(tree[name], xx)
         return _int8_conv(
             tree[name], xx, scale, padding=((2, 2), (2, 2)), lhs_dilation=(2, 2), compute_dtype=compute_dtype
@@ -313,16 +342,36 @@ def _walk48_sites(tree, x48, sites, float_mode, compute_dtype=jnp.bfloat16):
     return _walk48(x48, conv, upconv)
 
 
+def apply_logits_fake_quant(params, state, scales, x):
+    """QAT training forward: in-graph BN fold (frozen at running stats), the
+    int8 walk in fake-quant STE mode with the static per-site `scales`, then
+    the float sub-pixel head — fine logits whose forward values match the
+    shipped int8 datapath while gradients flow to the ORDINARY params, so a
+    finetuned checkpoint stays a normal checkpoint and `rs predict` needs no
+    changes (parallel/steps.make_qat_train_step)."""
+    from robosat_tpu.models.int8 import _Sites
+
+    n, h, w, c = x.shape
+    _check_side(h, w)
+    folded = fold(params, state)
+    sites = _Sites(scales=list(scales))
+    feats = _walk48_sites(folded, space_to_depth4(x), sites, float_mode=True, fake_quant=True)
+    head = conv_apply({"w": folded["final"]["w"]}, feats, stride=1) + folded["final"]["b"].astype(feats.dtype)
+    return subpixel_to_fine(head, folded["final"]["b"].shape[0] // (BLOCK * BLOCK))
+
+
 def calibration_amaxes_int8(folded, x, blocked=False, percentile=None):
     """Per-conv-site input amaxes (or |x| percentiles) from one float forward.
 
     `x` is normalized input — fine (N, H, W, 3), or 4x4 space-to-depth
     (N, H/4, W/4, 48) with `blocked`."""
-    from robosat_tpu.models.int8 import _Sites
+    from robosat_tpu.models.int8 import _Sites, is_per_channel
 
     x48 = x if blocked else space_to_depth4(x)
     sites = _Sites(scales=None, percentile=percentile)
     _walk48_sites(folded, x48.astype(jnp.float32), sites, float_mode=True)
+    if is_per_channel(percentile):
+        return [t.astype(jnp.float32) for t in sites.taps]
     return jnp.stack(sites.taps).astype(jnp.float32)
 
 

@@ -66,50 +66,143 @@ def _fused_k4(w3):
     )
 
 
-def _quantize_weight(w):
-    """HWIO float kernel -> (int8 kernel, float32 per-output-channel scale)."""
+def _quantize_weight(w, act_scale=None):
+    """HWIO float kernel -> (int8 kernel, float32 per-output-channel scale).
+
+    With `act_scale` (per-INPUT-channel activation quantization scales, the
+    "pc" calibration mode), the scales are FOLDED into the kernel before
+    quantization: W'[..,c,:] = W[..,c,:] * s_c. The consumer then quantizes
+    activations per channel (x_c / s_c) and dequantizes with the weight
+    scale alone — sum_c (x_c/s_c)(W_c s_c) = sum_c x_c W_c — so a single
+    outlier activation channel no longer blows the whole tensor's scale
+    (docs/PERF.md round-4 int8 finding #4)."""
     w = jnp.asarray(w, jnp.float32)
+    if act_scale is not None:
+        w = w * jnp.asarray(act_scale, jnp.float32)[None, None, :, None]
     scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
     wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return wq, scale
 
 
-def _qconv(node):
-    wq, ws = _quantize_weight(node["w"])
+def _qconv(node, act_scale=None):
+    wq, ws = _quantize_weight(node["w"], act_scale)
     out = {"wq": wq, "ws": ws}
     if "b" in node:
         out["b"] = jnp.asarray(node["b"], jnp.float32)
     return out
 
 
-def _qkernel(k):
-    """Pre-rewritten float kernel -> {"wq", "ws"} (per-output-channel)."""
-    wq, ws = _quantize_weight(k)
+def _qkernel(k, act_scale=None):
+    """Pre-rewritten float kernel -> {"wq", "ws"} (per-output-channel).
+    `act_scale` folds per-input-channel activation scales (rewritten-kernel
+    input axis) before quantization — see _quantize_weight."""
+    wq, ws = _quantize_weight(k, act_scale)
     return {"wq": wq, "ws": ws}
 
 
-def quantize_unet_folded(folded):
-    """BN-folded U-Net params -> hybrid tree: bottleneck stages + decoder
-    quantized (in their rewritten kernel forms), stem + final head float."""
-    enc = folded["encoder"]
+class ScaleCursor:
+    """Positional per-site scale planner for the "pc" (per-channel)
+    quantization mode.
+
+    Quantizers call fold_scale(kernel) in the SAME conv-site order the
+    inference walk consumes scales. For each site it balances the calibrated
+    per-input-channel activation range a_c against the kernel's
+    per-input-channel weight range w_c (SmoothQuant-style, alpha = 1/2):
+
+        s_c  ∝  sqrt(a_c / w_c),  normalized so max_c(a_c / s_c) = 127.
+
+    A pure activation-side fold (s_c = a_c / 127) would merely MOVE the
+    outlier-channel disparity into the folded weights, where the
+    per-OUTPUT-channel weight scale cannot absorb an input-axis spread; the
+    square root splits the disparity evenly, so each channel's combined
+    activation x weight quantization noise stays proportional to that
+    channel's actual contribution a_c * w_c. The chosen vectors are recorded
+    in out_scales — the exact vectors the inference walk must quantize
+    activations with. fold_scale returns None when no amaxes were supplied
+    (per-tensor mode — nothing to fold)."""
+
+    def __init__(self, act_amaxes=None):
+        self.act_amaxes = None if act_amaxes is None else list(act_amaxes)
+        self.idx = 0
+        self.out_scales = []
+
+    def fold_scale(self, kernel):
+        if self.act_amaxes is None:
+            return None
+        assert self.idx < len(self.act_amaxes), (
+            "act-amax count mismatch: more conv sites than the {} amax vectors".format(len(self.act_amaxes))
+        )
+        a = jnp.maximum(jnp.asarray(self.act_amaxes[self.idx], jnp.float32), 1e-12)
+        self.idx += 1
+        k = jnp.asarray(kernel, jnp.float32)
+        w_amax = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 3)), 1e-12)
+        s = jnp.sqrt(a / w_amax)
+        s = s * (jnp.max(a / s) / 127.0)
+        self.out_scales.append(s)
+        return s
+
+    def assert_done(self):
+        if self.act_amaxes is not None:
+            assert self.idx == len(self.act_amaxes), (
+                "act-amax count mismatch: consumed {} of {}".format(self.idx, len(self.act_amaxes))
+            )
+
+
+def is_per_channel(spec):
+    """True for the per-channel calibration specs ("pc", "pc99.8", ...)."""
+    return isinstance(spec, str) and spec.startswith("pc")
+
+
+def _qconv_pc(node, cursor):
+    """_qconv with the cursor planning this site's per-channel fold."""
+    return _qconv(node, cursor.fold_scale(node["w"]))
+
+
+def _qkernel_pc(k, cursor):
+    """_qkernel on a pre-rewritten kernel, cursor-planned fold."""
+    return _qkernel(k, cursor.fold_scale(k))
+
+
+def quantize_encoder_stages(enc, cursor):
+    """The four bottleneck stages quantized in WALK order (conv1, conv2,
+    conv3, down_conv per block — the order walk_encoder consumes scales),
+    folding per-site per-channel scales planned by `cursor` ("pc" mode).
+    Shared by the U-Net and DeepLab quantizers."""
     qenc = {"conv1": dict(enc["conv1"])}  # stem stays float
     for si, (blocks, _) in enumerate(RESNET50_STAGES):
         name = "layer{}".format(si + 1)
         stage = []
         for bi in range(blocks):
             fb = enc[name][bi]
-            qb = {k: _qconv(fb[k]) for k in ("conv1", "conv2", "conv3")}
+            qb = {k: _qconv_pc(fb[k], cursor) for k in ("conv1", "conv2", "conv3")}
             if "down_conv" in fb:
-                qb["down_conv"] = _qconv(fb["down_conv"])
+                qb["down_conv"] = _qconv_pc(fb["down_conv"], cursor)
             stage.append(qb)
         qenc[name] = stage
+    return qenc
 
-    q = {"encoder": qenc}
+
+def quantize_unet_folded(folded, act_amaxes=None):
+    """BN-folded U-Net params -> hybrid tree: bottleneck stages + decoder
+    quantized (in their rewritten kernel forms), stem + final head float.
+
+    `act_amaxes` (per-channel "pc" calibration): per-site per-input-channel
+    activation range vectors in conv-site walk order. Each site's balanced
+    fold scales (ScaleCursor) bake into its kernel before weight
+    quantization, and the function then returns (qtree, scale_vectors) —
+    the inference walk MUST quantize activations with exactly those
+    vectors. Decoder vectors are over the REWRITTEN kernels' input channels
+    — the same tensors the calibration walk tapped."""
+    cursor = ScaleCursor(act_amaxes)
+    q = {"encoder": quantize_encoder_stages(folded["encoder"], cursor)}
     for name in ("center", "dec0", "dec1", "dec2", "dec3"):
-        q[name] = _qkernel(_fused_k4(jnp.asarray(folded[name]["w"], jnp.float32)))
-    q["dec4"] = _qkernel(s2d_up_conv3x3_kernel(jnp.asarray(folded["dec4"]["w"], jnp.float32)))
-    q["dec5"] = _qkernel(s2d_conv3x3_kernel(jnp.asarray(folded["dec5"]["w"], jnp.float32)))
+        q[name] = _qkernel_pc(_fused_k4(jnp.asarray(folded[name]["w"], jnp.float32)), cursor)
+    q["dec4"] = _qkernel_pc(s2d_up_conv3x3_kernel(jnp.asarray(folded["dec4"]["w"], jnp.float32)), cursor)
+    q["dec5"] = _qkernel_pc(s2d_conv3x3_kernel(jnp.asarray(folded["dec5"]["w"], jnp.float32)), cursor)
+    cursor.assert_done()
     q["final"] = dict(folded["final"])
+    if act_amaxes is not None:
+        return q, cursor.out_scales
     return q
 
 
@@ -122,12 +215,23 @@ def _quantize_act(x, scale):
     # round(v / 0.015) of 1.6875 into 113 where eager division gives 112).
     # Baking the reciprocal makes the Pallas kernels (qdec/qtail/qenc)
     # replicable bit for bit against this graph.
-    inv = jnp.float32(np.float32(1.0) / np.float32(scale))
+    if isinstance(scale, np.ndarray) and scale.ndim == 1:
+        # Per-channel ("pc" calibration): a host f32 reciprocal VECTOR
+        # broadcast over the channel axis; same single-rounding determinism
+        # argument, elementwise.
+        inv = jnp.asarray(np.float32(1.0) / np.asarray(scale, np.float32))
+    else:
+        inv = jnp.float32(np.float32(1.0) / np.float32(scale))
     return jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
 
 
 def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, dilation=1, compute_dtype=jnp.bfloat16):
-    """Quantize x with the static `scale`, int8 conv, dequant (+bias)."""
+    """Quantize x with the static `scale`, int8 conv, dequant (+bias).
+
+    `scale` is a host scalar (per-tensor) or a per-input-channel f32 vector
+    ("pc" mode). In the vector case the scales were FOLDED into `wq` at
+    quantize time (_quantize_weight), so dequantization uses the weight
+    scale alone — the per-channel factors cancel inside the accumulation."""
     xq = _quantize_act(x, scale)
     acc = lax.conv_general_dilated(
         xq,
@@ -139,7 +243,8 @@ def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, dila
         dimension_numbers=CONV_DIMS,
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (node["ws"] * scale)
+    per_channel = isinstance(scale, np.ndarray) and scale.ndim == 1
+    y = acc.astype(jnp.float32) * (node["ws"] if per_channel else node["ws"] * scale)
     if "b" in node:
         y = y + node["b"]
     return y.astype(compute_dtype)
@@ -147,6 +252,27 @@ def _int8_conv(node, x, scale, stride=1, padding="SAME", lhs_dilation=None, dila
 
 # Candidate clip fractions for the "mse" calibration grid (of the site amax).
 _MSE_GRID = np.geomspace(0.02, 1.0, 28).astype(np.float32)
+
+
+def fake_quant_act(x, scale):
+    """Straight-through-estimator quantize-dequantize of an activation with
+    the static per-tensor `scale` (QAT: forward sees exactly the int8
+    datapath's values, backward passes gradients through unchanged). Uses
+    the same baked host-f32 reciprocal as _quantize_act so both paths put
+    every value in the same int8 bin."""
+    inv = jnp.asarray(np.float32(1.0) / np.float32(scale), x.dtype)
+    q = jnp.clip(jnp.round(x * inv), -127, 127) * jnp.asarray(np.float32(scale), x.dtype)
+    return x + lax.stop_gradient(q - x)
+
+
+def fake_quant_weight(w):
+    """STE quantize-dequantize of a kernel with LIVE per-output-channel
+    scales (recomputed from the current weights each step, exactly
+    _quantize_weight's grid, so the finetuned weights land on the grid the
+    predict-time quantizer will use)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127) * scale
+    return w + lax.stop_gradient(q - w)
 
 
 class _Sites:
@@ -161,7 +287,21 @@ class _Sites:
     def next_scale(self, x):
         if self.scales is None:
             a = jnp.abs(x.astype(jnp.float32))
-            if self.percentile in ("mse", "mae"):
+            if is_per_channel(self.percentile):
+                # Per-channel taps ("pc" = per-channel amax, "pc99.8" = that
+                # percentile per channel, over batch+space): the failure
+                # mode per-tensor calibration cannot fix is ONE outlier
+                # channel blowing the shared scale while the bulk quantizes
+                # to ~0; a per-channel vector gives every channel its own
+                # int8 range, and the consumer folds the vector into its
+                # weights so the MXU path is unchanged (_quantize_weight).
+                axes = tuple(range(a.ndim - 1))
+                spec = self.percentile[2:]
+                if spec in ("", "amax"):
+                    self.taps.append(jnp.max(a, axis=axes))
+                else:
+                    self.taps.append(jnp.percentile(a.reshape(-1, a.shape[-1]), float(spec), axis=0))
+            elif self.percentile in ("mse", "mae"):
                 # Grid-optimal clip: per site, pick the clip value (a grid of
                 # fractions of amax) minimizing the symmetric-int8
                 # quantize-dequantize reconstruction error over the
@@ -194,9 +334,11 @@ class _Sites:
             else:
                 self.taps.append(jnp.max(a))
             return 1.0  # calibration runs in float; scale unused
-        s = float(self.scales[self.idx])
+        s = self.scales[self.idx]
         self.idx += 1
-        return s
+        # Per-channel scales stay host f32 vectors (consumed by broadcast);
+        # scalars stay floats for bit-compat with the Pallas kernels.
+        return s if isinstance(s, np.ndarray) and s.ndim == 1 else float(s)
 
 
 
@@ -236,21 +378,32 @@ def walk_encoder(q_enc, out, conv, dilate_last_stage=False, stage_overrides=None
 
 
 def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=None,
-          pallas_layer1=False, pallas_interpret=None):
+          pallas_layer1=False, pallas_interpret=None, fake_quant=False):
     """Float stem, then bottleneck stacks and the decoder, visiting conv
     sites in a fixed order. Mirrors resnet.apply_folded + unet.decode_s2d;
     returns s2d parity-blocked decoder features.
 
     In float_mode (calibration) `q` is the plain folded tree and every site
     runs in float via the same rewrites the int8 kernels were built from.
-    With `blocked`, `x` is 4x4 space-to-depth host-blocked normalized input
-    (N, H/4, W/4, 48) and the stem runs in its MXU-wide s2d form.
+    With `fake_quant` (float_mode with consumed scales — QAT), every site
+    additionally quantize-dequantizes its input with the static site scale
+    and its kernel with live per-output-channel scales, both via the
+    straight-through estimator, so the forward matches the int8 datapath's
+    values while staying differentiable. With `blocked`, `x` is 4x4
+    space-to-depth host-blocked normalized input (N, H/4, W/4, 48) and the
+    stem runs in its MXU-wide s2d form.
     """
     relu = jax.nn.relu
 
     def conv(node, xx, stride=1, dilation=1, padding="SAME"):
         scale = sites.next_scale(xx)
         if float_mode:  # every folded encoder conv carries a bias (BN fold)
+            if fake_quant:
+                fq_node = {"w": fake_quant_weight(jnp.asarray(node["w"], jnp.float32)).astype(xx.dtype)}
+                if "b" in node:
+                    fq_node["b"] = node["b"]
+                xx = fake_quant_act(xx, scale)
+                return conv_bias_apply(fq_node, xx, stride=stride, dilation=dilation, padding=padding)
             return conv_bias_apply(node, xx, stride=stride, dilation=dilation, padding=padding)
         return _int8_conv(
             node, xx, scale, stride=stride, dilation=dilation, padding=padding, compute_dtype=compute_dtype
@@ -293,6 +446,16 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=N
         # Fused upsample+conv in its 4x4 transposed-conv form.
         scale = sites.next_scale(xx)
         if float_mode:
+            if fake_quant:
+                # Fake-quant the REWRITTEN kernel — the tensor the predict
+                # quantizer grids — not the raw 3x3 form.
+                k4 = fake_quant_weight(_fused_k4(jnp.asarray(q[name]["w"], jnp.float32))).astype(xx.dtype)
+                return relu(
+                    lax.conv_general_dilated(
+                        fake_quant_act(xx, scale), k4, (1, 1), ((2, 2), (2, 2)),
+                        lhs_dilation=(2, 2), dimension_numbers=CONV_DIMS,
+                    )
+                )
             return relu(fused_upsample_conv3x3(q[name], xx))
         return relu(
             _int8_conv(q[name], xx, scale, padding=((2, 2), (2, 2)), lhs_dilation=(2, 2), compute_dtype=compute_dtype)
@@ -302,6 +465,9 @@ def _walk(q, x, sites, compute_dtype, float_mode=False, blocked=False, stop_at=N
         scale = sites.next_scale(xx)
         if float_mode:
             k = kernel_fn(jnp.asarray(q[name]["w"], jnp.float32))
+            if fake_quant:
+                k = fake_quant_weight(k)
+                xx = fake_quant_act(xx, scale)
             return relu(
                 lax.conv_general_dilated(xx, k.astype(xx.dtype), (1, 1), "SAME", dimension_numbers=CONV_DIMS)
             )
@@ -330,6 +496,9 @@ def calibration_amaxes(folded, x, compute_dtype=jnp.float32, blocked=False, perc
     """
     sites = _Sites(scales=None, percentile=percentile)
     _walk(folded, x.astype(compute_dtype), sites, compute_dtype, float_mode=True, blocked=blocked)
+    if is_per_channel(percentile):
+        # Ragged per-site channel vectors: a list pytree, not a stack.
+        return [t.astype(jnp.float32) for t in sites.taps]
     return jnp.stack(sites.taps).astype(jnp.float32)
 
 
@@ -377,6 +546,7 @@ def apply_features_int8_to_dec3_input(qtree, scales, x, compute_dtype=jnp.bfloat
 
 
 def scales_from_amaxes(amaxes, margin=1.0):
-    """amax vector -> per-site static quantization scales."""
+    """amax vector -> per-site static quantization scales (per-tensor modes;
+    the per-channel "pc" mode plans its vectors in ScaleCursor instead)."""
     amaxes = np.asarray(amaxes, np.float64)
     return np.maximum(amaxes * margin, 1e-12) / 127.0

@@ -210,3 +210,29 @@ def apply_features_folded_s2d_from48(folded, x48):
     """Space-to-depth end to end: 4x4 host-blocked normalized input
     (N, H/4, W/4, 48) -> blocked stem -> stages -> s2d decoder features."""
     return decode_s2d(folded, resnet.apply_folded_s2d4(folded["encoder"], x48))
+
+
+def apply_logits_fake_quant(params, state, scales, x):
+    """QAT training forward: in-graph BN fold (frozen at running stats), the
+    hybrid-int8 walk in fake-quant STE mode with the static per-site `scales`
+    (models/int8._walk fake_quant — float stem, every quantized site
+    quantize-dequantizes its input and its REWRITTEN kernel exactly as the
+    int8 predict datapath will), then the float 1x1 head applied per-parity
+    on the blocked features (same math as apply_s2d's tail). Returns fine
+    logits. Gradients flow to the ORDINARY params through the fold, so a
+    finetuned checkpoint stays a normal checkpoint and the shipped int8
+    predict path needs zero changes (parallel/steps.make_qat_train_step)."""
+    from robosat_tpu.models import int8 as q8
+    from robosat_tpu.models.layers import depth_to_space2
+
+    n, h, w, c = x.shape
+    assert h % 32 == 0 and w % 32 == 0, "image resolution has to be divisible by 32 for resnet"
+    folded = fold(params, state)
+    sites = q8._Sites(scales=list(scales))
+    feats = q8._walk(folded, x, sites, x.dtype, float_mode=True, fake_quant=True)
+
+    nb, hb, wb, cb = feats.shape
+    wf = folded["final"]["w"].reshape(NUM_FILTERS, -1)
+    blocked = jnp.einsum("nhwpf,fc->nhwpc", feats.reshape(nb, hb, wb, 4, NUM_FILTERS), wf.astype(feats.dtype))
+    logits = depth_to_space2(blocked.reshape(nb, hb, wb, -1))
+    return logits + folded["final"]["b"].astype(logits.dtype)

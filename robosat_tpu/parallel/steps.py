@@ -14,6 +14,8 @@ All steps take raw uint8 batches; normalization/augmentation trace into the
 graph so the host pipeline stays decode-only.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -133,6 +135,7 @@ def make_int8_predict_step(
     calib_percentile=None,
     pallas_tail=None,
     pallas_enc=False,
+    calib_amaxes=None,
 ):
     """Compiled hybrid-int8 prediction (robosat_tpu.models.int8 for the
     U-Net: int8 bottleneck stacks, bf16 stem + s2d decoder; models exposing
@@ -144,6 +147,11 @@ def make_int8_predict_step(
     into the program as constants so every quantize step is a fused epilogue.
     With `host_s2d`, `calib_raw` and every step batch are 4x4 space-to-depth
     host-blocked uint8 (N, H/4, W/4, 48).
+
+    `calib_amaxes` (host per-site amax vector) SKIPS calibration and uses
+    those exact scales — the QAT contract: a quantization-aware finetune
+    bakes its frozen training scales (make_qat_train_step), and predict must
+    consume the same vector, not a fresh calibration of the moved weights.
     """
     import numpy as np
 
@@ -152,18 +160,49 @@ def make_int8_predict_step(
     norm = _normalize_s2d4 if host_s2d else normalize
     folded = jax.jit(model.fold)(params, state)
 
+    per_channel = q8.is_per_channel(calib_percentile)
+    if per_channel and calib_amaxes is not None:
+        raise ValueError(
+            "calib_amaxes carries a per-tensor QAT vector; per-channel ('pc...') calibration "
+            "would misread it — set int8_calibration to a percentile for QAT checkpoints"
+        )
+    if per_channel and (pallas_tail or pallas_enc):
+        # The Pallas kernels bake SCALAR per-site scales; per-channel
+        # calibration folds vectors into the weights instead.
+        raise ValueError("per-channel calibration ('pc...') is XLA-walk only: disable pallas_tail/pallas_enc")
+
+    def _host_amaxes(raw_amaxes):
+        return [np.asarray(a) for a in raw_amaxes] if per_channel else np.asarray(raw_amaxes)
+
     if hasattr(model, "predict_quantized_int8"):
         # Model-owned hybrid-int8 protocol (DeepLab: models/deeplab.py) —
         # the model calibrates, quantizes, and fuses its own head.
-        amaxes = np.asarray(
+        if per_channel:
+            import inspect
+
+            if "act_amaxes" not in inspect.signature(model.quantize_folded_int8).parameters:
+                raise ValueError(
+                    "{} does not support per-channel ('pc...') calibration; "
+                    "use a percentile".format(getattr(model, "__name__", model))
+                )
+        amaxes = calib_amaxes if calib_amaxes is not None else _host_amaxes(
             jax.jit(
                 lambda f, r: model.calibration_amaxes_int8(
                     f, norm(r), blocked=host_s2d, percentile=calib_percentile
                 )
             )(folded, calib_raw)
         )
-        scales = tuple(q8.scales_from_amaxes(amaxes))
-        qtree = jax.jit(model.quantize_folded_int8)(folded)
+        if per_channel:
+            # The quantizer plans the balanced fold per site (it needs the
+            # weights — int8.ScaleCursor) and returns the exact per-channel
+            # vectors the walk must quantize activations with.
+            qtree, scale_list = jax.jit(
+                functools.partial(model.quantize_folded_int8, act_amaxes=amaxes)
+            )(folded)
+            scales = [np.asarray(s, np.float32) for s in scale_list]
+        else:
+            scales = tuple(q8.scales_from_amaxes(amaxes))
+            qtree = jax.jit(model.quantize_folded_int8)(folded)
 
         def step_m(qtree, raw):
             x = norm(raw).astype(jnp.bfloat16)
@@ -188,13 +227,17 @@ def make_int8_predict_step(
             qtree,
         )
 
-    amaxes = np.asarray(
+    amaxes = calib_amaxes if calib_amaxes is not None else _host_amaxes(
         jax.jit(lambda f, r: q8.calibration_amaxes(f, norm(r), blocked=host_s2d, percentile=calib_percentile))(
             folded, calib_raw
         )
     )
-    scales = tuple(q8.scales_from_amaxes(amaxes))
-    qtree = jax.jit(q8.quantize_unet_folded)(folded)
+    if per_channel:
+        qtree, scale_list = jax.jit(functools.partial(q8.quantize_unet_folded, act_amaxes=amaxes))(folded)
+        scales = [np.asarray(s, np.float32) for s in scale_list]
+    else:
+        scales = tuple(q8.scales_from_amaxes(amaxes))
+        qtree = jax.jit(q8.quantize_unet_folded)(folded)
 
     blocked_out = host_s2d and fused_head and overlap % 2 == 0
     if pallas_tail and not blocked_out:
@@ -448,6 +491,63 @@ def make_train_step(
         in_shardings=(rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
         out_shardings=(rep, rep, rep, rep, rep),
         donate_argnums=(0, 1, 2),
+    )
+
+
+def make_qat_train_step(
+    model, loss_fn, optimizer, scales, weight=None, mesh=None, compute_dtype=jnp.float32, augment=True,
+):
+    """Compiled quantization-aware finetune step (`rs train --qat`).
+
+    Forward = model.apply_logits_fake_quant: in-graph BN fold frozen at the
+    checkpoint's running stats, then the int8 walk with every quantized site
+    quantize-dequantizing its input (static per-site `scales` — the SAME
+    frozen vector the later int8 predict must use) and its rewritten kernel
+    (live per-output-channel grids) via the straight-through estimator.
+    The optimizer therefore descends the loss of the network the int8
+    datapath will actually run, recovering the accumulated per-tensor
+    rounding loss that calibration alone cannot (docs/PERF.md round-4 int8
+    finding #4; round-5: per-channel calibration measured on-chip did not
+    close it either).
+
+    `scales` come from one calibration pass on the trained checkpoint
+    (int8.calibration_amaxes -> scales_from_amaxes) and bake into the
+    program as constants. BN state is frozen (passed through unchanged):
+    the int8 graph runs BN-folded, so training through the fold with live
+    stats would finetune against a moving target.
+
+    Returns step(params, state, opt_state, rng, images_u8, masks) ->
+    (params, state, opt_state, loss, counts) — the same arity as
+    make_train_step so the tools/train.py host loop is reused as-is.
+
+    Reference context: quantizes the reference's training contract
+    (robosat/tools/train.py:171-194) for the model of robosat/unet.py:76-141.
+    """
+
+    def loss_and_aux(params, state, x, masks):
+        logits = model.apply_logits_fake_quant(params, state, scales, x)
+        loss = loss_fn(logits.astype(jnp.float32), masks, weight)
+        return loss, logits
+
+    def step(params, state, opt_state, rng, images, masks):
+        if augment:
+            images, masks = augment_batch(rng, images, masks)
+        x = normalize(images).astype(compute_dtype)
+
+        (loss, logits), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(params, state, x, masks)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        counts = confusion_counts(logits, masks)
+        return new_params, state, new_opt_state, loss, counts
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 2))
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
+        out_shardings=(rep, rep, rep, rep, rep),
+        donate_argnums=(0, 2),
     )
 
 

@@ -86,7 +86,12 @@ def main(args):
     assert num_classes == 2, "single channel requires binary model"
 
     model = get_model(model_config["common"].get("model", "unet"))
-    params, state, _ = load_model_checkpoint(args.checkpoint, num_classes)
+    params, state, ckpt_meta = load_model_checkpoint(args.checkpoint, num_classes)
+    # A QAT-finetuned checkpoint (rs train --qat) carries the frozen
+    # calibration vector its finetune trained against; the int8 step must
+    # quantize with EXACTLY those scales, not a fresh calibration of the
+    # moved weights.
+    qat_amaxes = ckpt_meta.get("qat_amaxes") if isinstance(ckpt_meta, dict) else None
 
     compute_dtype = jnp.bfloat16 if model_config["common"].get("bf16", False) else jnp.float32
     # `fused_head` (formerly `pallas_head`) in the model TOML; defaults on.
@@ -108,10 +113,19 @@ def main(args):
     # plateau 99.7-99.9 measured best (0.94 agreement, peak at 99.8), so
     # that is the default. "amax" remains for the random-weight byte-parity
     # tests and as an explicit opt-out.
+    # "pc" / "pc<percentile>" = PER-CHANNEL calibration (per-channel amax /
+    # percentile vectors folded into the consumer weights — models/int8.py
+    # _quantize_weight): recovers most of the residual per-tensor
+    # quantization loss on trained models at identical step cost
+    # (XLA-walk only; incompatible with pallas_tail/pallas_enc).
     calib = model_config["common"].get("int8_calibration", 99.8)
     if calib in ("amax", None):
         calib_percentile = None
     elif calib in ("mse", "mae"):
+        calib_percentile = calib
+    elif isinstance(calib, str) and calib.startswith("pc"):
+        if calib[2:] not in ("", "amax"):
+            float(calib[2:])  # validate eagerly: fail at config read, not in the step build
         calib_percentile = calib
     else:
         calib_percentile = float(calib)
@@ -299,11 +313,14 @@ def main(args):
         if int8_mode and predict_step is None:
             from robosat_tpu.parallel.steps import make_int8_predict_step
 
+            import numpy as _np
+
             predict_step, qtree = make_int8_predict_step(
                 model, params, state, images, mesh=mesh, overlap=args.overlap, fused_head=use_fused,
                 host_s2d=use_host_s2d, calib_percentile=calib_percentile,
                 pallas_tail=pallas_tail if is_unet else None,
                 pallas_enc=pallas_enc if is_unet else False,
+                calib_amaxes=_np.asarray(qat_amaxes, _np.float64) if qat_amaxes is not None else None,
             )
             qtree = replicate(mesh, qtree)
         with jax.profiler.StepTraceAnnotation("predict_batch"):

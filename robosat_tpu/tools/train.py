@@ -92,6 +92,13 @@ def add_parser(subparser):
     )
     parser.add_argument("--distill_alpha", type=float, default=0.9, help="soft-target weight in the distillation loss")
     parser.add_argument("--distill_temp", type=float, default=2.0, help="distillation softmax temperature")
+    parser.add_argument(
+        "--qat",
+        action="store_true",
+        help="quantization-aware finetune of --checkpoint: the forward fake-quantizes every int8 "
+        "site (frozen calibrated scales, straight-through gradients) so the optimizer descends "
+        "the int8 datapath's own loss; the scales ship in checkpoint meta for `rs predict`",
+    )
 
     parser.set_defaults(func=main)
 
@@ -159,7 +166,19 @@ def main(args):
     teacher_path = getattr(args, "teacher", None)
     distill_alpha = getattr(args, "distill_alpha", 0.9)
     distill_temp = getattr(args, "distill_temp", 2.0)
-    if teacher_path:
+    qat_mode = getattr(args, "qat", False)
+    if qat_mode:
+        if not args.checkpoint:
+            sys.exit("Error: --qat finetunes a trained model; provide --checkpoint")
+        if teacher_path:
+            sys.exit("Error: --qat and --teacher are mutually exclusive")
+        if not hasattr(model, "apply_logits_fake_quant"):
+            sys.exit(
+                "Error: --qat needs a family with a fake-quant forward "
+                "(apply_logits_fake_quant): unet or fast"
+            )
+        train_step = None  # built below — calibration needs one real training batch
+    elif teacher_path:
         # Knowledge distillation (--teacher): the teacher checkpoint loads
         # from its own model TOML's family, folds its BNs once, and runs
         # frozen inside the compiled train step
@@ -228,6 +247,49 @@ def main(args):
     if weight is not None:
         log.log("Weights :\t {}".format(dataset_config["weights"]["values"]))
     log.log("---")
+
+    qat_meta = {}
+    if qat_mode:
+        # Calibrate per-site scales ONCE on one real training batch (the
+        # config's int8_calibration spec, per-tensor modes only — the QAT
+        # walk fake-quantizes with scalar site scales), freeze them into the
+        # compiled step, and record them in checkpoint meta: `rs predict`
+        # must quantize with EXACTLY these scales, not a fresh calibration
+        # of the moved weights (parallel/steps.make_qat_train_step).
+        from robosat_tpu.models import int8 as q8
+        from robosat_tpu.ops.augment import normalize
+        from robosat_tpu.parallel.steps import make_qat_train_step
+
+        calib_spec = model_config["common"].get("int8_calibration", 99.8)
+        if q8.is_per_channel(calib_spec):
+            sys.exit("Error: --qat uses per-tensor site scales; set int8_calibration to a percentile/mse/mae/amax")
+        if calib_spec in ("amax", None):
+            pct = None
+        elif calib_spec in ("mse", "mae"):
+            pct = calib_spec
+        else:
+            pct = float(calib_spec)
+
+        calib_images = None
+        for batch in batches(train_dataset, batch_size, shuffle=True, drop_last=True, workers=2, seed=0):
+            calib_images = batch.arrays[0]
+            break
+        folded = jax.jit(model.fold)(params, state)
+        calib_fn = getattr(model, "calibration_amaxes_int8", None) or q8.calibration_amaxes
+        amaxes = np.asarray(
+            jax.jit(lambda f, r: calib_fn(f, normalize(r), percentile=pct))(folded, calib_images)
+        )
+        qat_meta = {"qat_amaxes": [float(a) for a in amaxes], "qat_calibration": str(calib_spec)}
+        train_step = make_qat_train_step(
+            model,
+            loss_fn,
+            optimizer,
+            list(q8.scales_from_amaxes(amaxes)),
+            weight=weight,
+            mesh=mesh,
+            compute_dtype=compute_dtype,
+        )
+        log.log("QAT finetune: {} int8 sites, int8_calibration = {} (frozen)".format(len(amaxes), calib_spec))
 
     base_rng = jax.random.PRNGKey(model_config["common"].get("seed", 0))
 
@@ -355,7 +417,7 @@ def main(args):
                 "state": jax.device_get(state),
                 "opt_state": opt_state_to_leaves(jax.device_get(opt_state)),
             },
-            meta={"epoch": epoch + 1},
+            meta=dict({"epoch": epoch + 1}, **qat_meta),
         )
 
     if args.profile:

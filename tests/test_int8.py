@@ -237,3 +237,224 @@ def test_grid_calibration_scales():
         lambda qt, r: q8.apply_features_int8(qt, scales, normalize(r), compute_dtype=jnp.float32)
     )(qtree, raw)
     assert np.all(np.isfinite(np.asarray(feats, np.float32)))
+
+
+def test_per_channel_outlier_recovery():
+    """The per-channel ("pc") failure-mode fix: an outlier activation
+    channel that the net DOWNWEIGHTS (so its contribution is ordinary but
+    its range blows the per-tensor amax scale — the trained-model collapse,
+    docs/PERF.md round 4: bulk channels quantize to ~0). Balanced
+    per-channel fold scales (int8.ScaleCursor) reconstruct the conv."""
+    rng = np.random.default_rng(7)
+    w = rng.normal(0, 0.2, (1, 1, 8, 16)).astype(np.float32)
+    w[:, :, 3, :] *= 1e-3  # the net learned to downweight the outlier channel
+    x = rng.normal(0, 1.0, (1, 4, 4, 8)).astype(np.float32)
+    x[..., 3] *= 1000.0  # the outlier activation channel
+
+    ref = np.einsum("nhwc,ijco->nhwo", x, w)
+
+    # Per-tensor amax: scale set by the outlier; the 7 bulk channels (which
+    # carry essentially ALL the output signal here) quantize to ~0.
+    amax = float(np.abs(x).max())
+    node_pt = q8._qconv({"w": w})
+    y_pt = np.asarray(q8._int8_conv(node_pt, jnp.asarray(x), amax / 127.0, compute_dtype=jnp.float32))
+
+    # Per-channel balanced fold (the "pc" datapath pieces end to end).
+    a_vec = np.abs(x).reshape(-1, 8).max(axis=0).astype(np.float32)
+    cursor = q8.ScaleCursor([a_vec])
+    node_pc = q8._qconv_pc({"w": w}, cursor)
+    s_vec = np.asarray(cursor.out_scales[0], np.float32)
+    y_pc = np.asarray(q8._int8_conv(node_pc, jnp.asarray(x), s_vec, compute_dtype=jnp.float32))
+
+    err_pt = np.abs(y_pt - ref).mean()
+    err_pc = np.abs(y_pc - ref).mean()
+    assert err_pc < err_pt / 20.0, (err_pc, err_pt)
+    rel = np.abs(y_pc - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_per_channel_fold_exactness_and_counts():
+    """The folded int8 graph reconstructs the float conv exactly when both
+    sides land on representable grids; ragged calibration returns one
+    channel vector per site; a wrong-length amax list is rejected."""
+    from robosat_tpu.models import fastnet
+
+    params, state = fastnet.init(0, num_classes=2)
+    folded = fastnet.fold(params, state)
+
+    raw = np.random.default_rng(1).integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+    taps = jax.jit(
+        lambda f, r: fastnet.calibration_amaxes_int8(f, normalize(r), percentile="pc99.8")
+    )(folded, raw)
+    assert isinstance(taps, list) and len(taps) == len(fastnet._ENC) + len(fastnet._DEC)
+    # Site input channels: stem sees the 48-channel s2d block; u3 sees 256.
+    assert taps[0].shape == (48,)
+    assert taps[len(fastnet._ENC)].shape == (256,)
+
+    q_pc, scale_list = fastnet.quantize_folded_int8(folded, act_amaxes=[np.asarray(t) for t in taps])
+    assert len(scale_list) == len(taps)
+    for t, s in zip(taps, scale_list):
+        assert np.asarray(s).shape == np.asarray(t).shape
+        # Normalization invariant: the largest channel's activations use the
+        # full int8 range, nothing clips beyond the calibrated range.
+        ints = np.asarray(t) / np.asarray(s)
+        assert ints.max() == pytest.approx(127.0, rel=1e-5)
+
+    with pytest.raises(AssertionError):
+        fastnet.quantize_folded_int8(folded, act_amaxes=[np.asarray(t) for t in taps[:-1]])
+
+    # Exact-grid reconstruction: activations that are exact multiples of
+    # s_c and a kernel of exact multiples of ws reconstruct bit-exactly
+    # through quantize -> int8 conv -> dequant (no rounding anywhere).
+    rng = np.random.default_rng(5)
+    a_vec = np.asarray([1.0, 4.0, 0.5, 2.0], np.float32) * 127.0
+    w = rng.integers(-7, 8, (1, 1, 4, 8)).astype(np.float32) * 0.25
+    cursor = q8.ScaleCursor([a_vec])
+    node = q8._qconv_pc({"w": w}, cursor)
+    s_vec = np.asarray(cursor.out_scales[0], np.float32)
+    ws = np.asarray(node["ws"], np.float32)
+    x = (rng.integers(-127, 128, (1, 3, 3, 4)).astype(np.float32)) * s_vec[None, None, None, :]
+    y = np.asarray(q8._int8_conv(node, jnp.asarray(x), s_vec, compute_dtype=jnp.float32))
+    # Reference through the folded representation (the exact ints the
+    # datapath accumulates): round(x/s) @ round(w*s/ws) * ws.
+    xi = np.round(x / s_vec)
+    wi = np.asarray(node["wq"], np.float32)
+    ref = np.einsum("nhwc,ijco->nhwo", xi, wi) * ws
+    np.testing.assert_allclose(y, ref, rtol=1e-6)
+
+
+def test_per_channel_e2e_predict_and_gates():
+    """make_int8_predict_step with 'pc' calibration: high mask agreement with
+    the fp path on random weights, and the Pallas opt-ins are refused (those
+    kernels bake scalar scales)."""
+    params, state = unet.init(0, num_classes=2)
+    raw = np.random.default_rng(3).integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+
+    q_step, qtree = make_int8_predict_step(unet, params, state, raw, overlap=0, calib_percentile="pc")
+    out = np.asarray(q_step(qtree, raw))
+    fp_step = make_predict_step(unet, overlap=0, compute_dtype=jnp.float32, fused_head=True, fold_bn=True)
+    fp = np.asarray(fp_step(params, state, raw))
+
+    def fg(qq):
+        return (qq >= 128) | (qq == 0)
+
+    agreement = (fg(out) == fg(fp)).mean()
+    assert agreement >= 0.95, agreement
+
+    with pytest.raises(ValueError, match="per-channel"):
+        make_int8_predict_step(
+            unet, params, state, raw, overlap=0, calib_percentile="pc99.8", pallas_tail="tail"
+        )
+
+
+def test_qat_fake_quant_matches_int8_datapath():
+    """The QAT contract — train what you ship: apply_logits_fake_quant's
+    forward equals the int8 datapath's logits up to fp accumulation order
+    (int8 accumulates exactly in int32; fake-quant convolves the dequantized
+    values in f32), so the finetune descends the deployed network's loss."""
+    from robosat_tpu.models.layers import conv_apply, depth_to_space2
+
+    params, state = unet.init(0, num_classes=2)
+    raw = np.random.default_rng(11).integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    folded = jax.jit(unet.fold)(params, state)
+    x = np.asarray(jax.jit(normalize)(raw), np.float32)
+
+    amaxes = np.asarray(jax.jit(lambda f, xx: q8.calibration_amaxes(f, xx))(folded, x))
+    scales = list(q8.scales_from_amaxes(amaxes))
+
+    qtree = jax.jit(q8.quantize_unet_folded)(folded)
+    feats = jax.jit(
+        lambda qt, xx: q8.apply_features_int8(qt, tuple(scales), xx, compute_dtype=jnp.float32)
+    )(qtree, x)
+    fine = depth_to_space2(feats)
+    logits_int8 = np.asarray(
+        conv_apply({"w": qtree["final"]["w"]}, fine, stride=1) + qtree["final"]["b"], np.float32
+    )
+
+    logits_fq = np.asarray(
+        jax.jit(lambda pp, ss, xx: unet.apply_logits_fake_quant(pp, ss, scales, xx))(params, state, x),
+        np.float32,
+    )
+    assert logits_fq.shape == logits_int8.shape
+    # The two forwards share every quantization grid but accumulate
+    # differently (int32-exact vs f32 products of dequantized values), so a
+    # value at a rounding boundary can land one int8 bin apart and deep
+    # random-init nets amplify those flips: the contract is tight MEAN
+    # agreement plus bounded worst case, not bit identity.
+    scale = np.abs(logits_int8).max()
+    assert np.abs(logits_fq - logits_int8).mean() / scale < 1e-3
+    assert np.abs(logits_fq - logits_int8).max() / scale < 0.1
+    # And decisions agree everywhere that matters.
+    agree = ((logits_fq[..., 1] > logits_fq[..., 0]) == (logits_int8[..., 1] > logits_int8[..., 0])).mean()
+    assert agree > 0.995, agree
+
+
+def test_qat_fake_quant_matches_int8_datapath_fastnet():
+    """Same contract for the fast family's model-owned int8 protocol."""
+    from robosat_tpu.models import fastnet
+
+    params, state = fastnet.init(0, num_classes=2)
+    raw = np.random.default_rng(12).integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    folded = jax.jit(fastnet.fold)(params, state)
+    x = np.asarray(jax.jit(normalize)(raw), np.float32)
+
+    amaxes = np.asarray(jax.jit(lambda f, xx: fastnet.calibration_amaxes_int8(f, xx))(folded, x))
+    scales = list(q8.scales_from_amaxes(amaxes))
+
+    qtree = jax.jit(fastnet.quantize_folded_int8)(folded)
+
+    # The int8 walk in f32 compute for a tight comparison, through the same
+    # float sub-pixel head the fake-quant forward uses.
+    def int8_logits(qt, xx):
+        from robosat_tpu.models.fastnet import _walk48_sites, subpixel_to_fine
+        from robosat_tpu.models.layers import conv_apply, space_to_depth4
+
+        sites = q8._Sites(scales=scales)
+        feats = _walk48_sites(qt, space_to_depth4(xx), sites, float_mode=False, compute_dtype=jnp.float32)
+        head = conv_apply({"w": qt["final"]["w"]}, feats, stride=1) + qt["final"]["b"]
+        return subpixel_to_fine(head, 2)
+
+    logits_int8 = np.asarray(jax.jit(int8_logits)(qtree, x), np.float32)
+    logits_fq = np.asarray(
+        jax.jit(lambda pp, ss, xx: fastnet.apply_logits_fake_quant(pp, ss, scales, xx))(params, state, x),
+        np.float32,
+    )
+    assert logits_fq.shape == logits_int8.shape
+    scale = np.abs(logits_int8).max()
+    assert np.abs(logits_fq - logits_int8).mean() / scale < 1e-3
+    assert np.abs(logits_fq - logits_int8).max() / scale < 0.1
+    agree = ((logits_fq[..., 1] > logits_fq[..., 0]) == (logits_int8[..., 1] > logits_int8[..., 0])).mean()
+    assert agree > 0.995, agree
+
+
+def test_qat_step_descends_and_freezes_bn():
+    """make_qat_train_step: the loss of the FAKE-QUANT forward descends on a
+    fixed batch, params move, BN state stays frozen (the int8 graph runs
+    BN-folded — finetuning against moving stats would chase a moving
+    target), and the finetuned weights give a better int8 predict agreement
+    with their own float path than before on that batch."""
+    from robosat_tpu.models import fastnet
+    from robosat_tpu.parallel.steps import make_qat_train_step
+
+    images, masks = _make_task(np.random.default_rng(9), 8, 64)
+    params, state = fastnet.init(0, num_classes=2)
+    folded = jax.jit(fastnet.fold)(params, state)
+    x = jax.jit(normalize)(images)
+    amaxes = np.asarray(jax.jit(lambda f, xx: fastnet.calibration_amaxes_int8(f, xx))(folded, x))
+    scales = list(q8.scales_from_amaxes(amaxes))
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    qat = make_qat_train_step(fastnet, get_loss("CrossEntropy"), optimizer, scales, augment=False)
+
+    state0 = jax.device_get(state)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    p, s, o = params, state, opt_state
+    for i in range(12):
+        p, s, o, loss, counts = qat(p, s, o, jax.random.fold_in(key, i), images, masks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses
+    # BN state frozen bit for bit.
+    for a, b in zip(jax.tree_util.tree_leaves(state0), jax.tree_util.tree_leaves(jax.device_get(s))):
+        np.testing.assert_array_equal(a, b)

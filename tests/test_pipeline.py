@@ -204,6 +204,57 @@ def test_full_pipeline(workspace):
     for rel in full:
         assert (root / "probs_sharded" / rel).read_bytes() == (root / "probs" / rel).read_bytes()
 
+    # --- QAT finetune (rs train --qat) from the trained checkpoint: the
+    # frozen calibrated scales ship in checkpoint meta, and an int8 predict
+    # from that checkpoint consumes exactly those scales (tools/train.py,
+    # parallel/steps.make_qat_train_step, tools/predict.py qat_amaxes).
+    from robosat_tpu.checkpoint import load_checkpoint
+    from robosat_tpu.config import save_config
+
+    qat_model_toml = root / "model-qat.toml"
+    save_config(
+        {
+            "common": {"cuda": False, "batch_size": 2, "image_size": SIZE,
+                       "checkpoint": str(root / "checkpoints_qat"), "sync_bn": False, "int8": True},
+            "opt": {"epochs": 1, "lr": 0.00005, "loss": "Lovasz"},
+        },
+        str(qat_model_toml),
+    )
+    train.main(
+        argparse.Namespace(
+            model=str(qat_model_toml),
+            dataset=str(root / "dataset.toml"),
+            checkpoint=str(ckpt),
+            resume=False,
+            workers=2,
+            profile=None,
+            qat=True,
+        )
+    )
+    qat_ckpt = root / "checkpoints_qat" / "checkpoint-00001-of-00001.npz"
+    assert qat_ckpt.exists()
+    _, qat_meta = load_checkpoint(str(qat_ckpt))
+    # 52 bottleneck + 7 decoder conv sites; the frozen spec is recorded.
+    assert len(qat_meta["qat_amaxes"]) == 59
+    assert qat_meta["qat_calibration"] == "99.8"
+    assert "QAT finetune: 59 int8 sites" in (root / "checkpoints_qat" / "log").read_text()
+    predict.main(
+        argparse.Namespace(
+            batch_size=4,
+            checkpoint=str(qat_ckpt),
+            overlap=32,
+            strip=1,
+            tile_size=SIZE,
+            workers=2,
+            tiles=str(root / "images"),
+            probs=str(root / "probs_qat"),
+            model=str(qat_model_toml),
+            dataset=str(root / "dataset.toml"),
+            profile=None,
+        )
+    )
+    assert (root / "probs_qat" / "18" / str(TILES[0].x) / "{}.png".format(TILES[0].y)).exists()
+
     # --- masks from probabilities.
     masks.main(argparse.Namespace(masks=str(root / "masks"), probs=[str(root / "probs")], weights=None))
     mask_png = root / "masks" / "18" / str(TILES[0].x) / "{}.png".format(TILES[0].y)
