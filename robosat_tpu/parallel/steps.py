@@ -542,13 +542,38 @@ def make_qat_train_step(
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 2))
-    rep = replicated(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(rep, rep, rep, rep, batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
-        out_shardings=(rep, rep, rep, rep, rep),
-        donate_argnums=(0, 2),
+
+    # Mesh mode: BN is FROZEN (the walk runs on the in-graph fold), so there
+    # are no stats collectives to interleave — shard_map with one trailing
+    # pmean round is both the natural semantics and the path that stays
+    # latency-tolerant (mirrors make_train_step's sync_bn=False branch).
+    from jax.sharding import PartitionSpec as P
+
+    from robosat_tpu.parallel.mesh import DATA_AXIS
+
+    def local_step(params, state, opt_state, rng, images, masks):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        if augment:
+            images, masks = augment_batch(rng, images, masks)
+        x = normalize(images).astype(compute_dtype)
+
+        (loss, logits), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(params, state, x, masks)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        counts = jax.lax.psum(confusion_counts(logits, masks), DATA_AXIS)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, state, new_opt_state, loss, counts
+
+    batch_spec = P(DATA_AXIS)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), batch_spec, batch_spec),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
     )
+    return jax.jit(sharded, donate_argnums=(0, 2))
 
 
 def make_distill_train_step(

@@ -458,3 +458,49 @@ def test_qat_step_descends_and_freezes_bn():
     # BN state frozen bit for bit.
     for a, b in zip(jax.tree_util.tree_leaves(state0), jax.tree_util.tree_leaves(jax.device_get(s))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_qat_keeps_float_path_consistent():
+    """Clipped-STE regression (round-5 chip finding): an ungated STE lets
+    QAT push activations past the frozen clip range — the int8 forward stays
+    self-consistent (it clips) while the model's FLOAT forward collapses
+    (measured on-chip: int8 gt-IoU 0.9988, float 0.0 after 400 ungated
+    steps). With the gated fake_quant_act, a QAT finetune must leave the
+    float predict path solving the task it solved before."""
+    from robosat_tpu.models import fastnet
+    from robosat_tpu.parallel.steps import make_qat_train_step
+
+    rng = np.random.default_rng(13)
+    images, masks = _make_task(rng, 8, 64)
+
+    # Train the float model until it solves the blob task.
+    params, state = fastnet.init(0, num_classes=2)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(fastnet, get_loss("CrossEntropy"), optimizer, augment=False)
+    key = jax.random.PRNGKey(0)
+    for i in range(40):
+        params, state, opt_state, _, _ = train_step(params, state, opt_state, jax.random.fold_in(key, i), images, masks)
+
+    def float_iou(p, s):
+        logits, _ = jax.jit(lambda pp, ss, r: fastnet.apply(pp, ss, normalize(r)))(p, s, images), None
+        pred = np.asarray(jnp.argmax(logits[0], -1)).astype(bool)
+        gt = masks.astype(bool)
+        return np.logical_and(pred, gt).sum() / max(np.logical_or(pred, gt).sum(), 1)
+
+    base_iou = float_iou(params, state)
+    assert base_iou > 0.7, base_iou
+
+    folded = jax.jit(fastnet.fold)(params, state)
+    amaxes = np.asarray(
+        jax.jit(lambda f, r: fastnet.calibration_amaxes_int8(f, normalize(r), percentile=99.8))(folded, images)
+    )
+    scales = list(q8.scales_from_amaxes(amaxes))
+    qopt = optax.adam(1e-4)
+    qat = make_qat_train_step(fastnet, get_loss("CrossEntropy"), qopt, scales, augment=False)
+    p, s, o = params, state, qopt.init(params)
+    for i in range(60):
+        p, s, o, loss, _ = qat(p, s, o, jax.random.fold_in(key, 100 + i), images, masks)
+
+    qat_iou = float_iou(p, s)
+    assert qat_iou > 0.9 * base_iou, (base_iou, qat_iou)
