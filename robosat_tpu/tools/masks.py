@@ -38,13 +38,23 @@ def softvote(probs, axis=0, weights=None):
 
 
 def _load_probs(path):
-    """A quantized probability PNG -> (2, H, W) [background; foreground]."""
+    """A quantized probability PNG -> (2, H, W) [background; foreground].
+
+    Saturation un-wrap (deliberate deviation, docs/PARITY.md): the digitize
+    quantizer maps p == 1.0 to index 256, which the uint8 cast wraps to 0 —
+    and index 0 is reachable ONLY that way (p == 0.0 lands on index 1, since
+    searchsorted-right counts the 0.0 anchor). The reference reads the wrap
+    back as fg = 0.0 (robosat/tools/masks.py:42-52 with predict.py:102-103),
+    silently turning every saturated-confident foreground pixel into
+    background — a trained model loses its blob INTERIORS and keeps only the
+    uncertain boundary ring. Mapping 0 -> 1.0 is the lossless inverse."""
     from robosat_tpu.native import imagecodec
 
     quantized = imagecodec.decode_indices(path)
     if quantized is None:
         quantized = np.array(Image.open(path).convert("P"))
     fg = ANCHORS[quantized]
+    fg[quantized == 0] = 1.0
     return np.stack([1.0 - fg, fg], axis=0)
 
 

@@ -59,3 +59,25 @@ def test_unweighted_matches_mean(tmp_path):
     got = np.array(Image.open(tmp_path / "out" / "18" / "1" / "1.png").convert("P"))
     # mean fg ~ (0.78 + 0.19)/2 < 0.5 -> background everywhere
     assert (got == 0).all()
+
+def test_saturated_foreground_unwrap(tmp_path):
+    """Index 0 = the p == 1.0 digitize wrap (it is unreachable any other way:
+    p == 0.0 lands on index 1) and MUST come back as foreground. The
+    reference reads it as fg = 0.0, deleting saturated blob interiors
+    (docs/PARITY.md known deviation)."""
+    from robosat_tpu.ops.quantize import quantize_probs
+
+    # Pin the premise first: only p == 1.0 reaches index 0.
+    import jax.numpy as jnp
+
+    q = np.asarray(quantize_probs(jnp.asarray([0.0, 1e-9, 0.5, 1.0 - 1e-7, 1.0], jnp.float32)))
+    assert q[0] == 1 and q[-1] == 0 and np.all(q[1:-1] != 0)
+
+    tile = (18, 5, 9)
+    quantized = np.zeros((32, 32), np.uint8)   # all saturated foreground
+    quantized[:4] = 1                          # a band of saturated background
+    _write_prob(str(tmp_path / "p"), tile, quantized)
+    masks.main(argparse.Namespace(masks=str(tmp_path / "out"), probs=[str(tmp_path / "p")], weights=None))
+    got = np.array(Image.open(tmp_path / "out" / "18" / "5" / "9.png").convert("P"))
+    assert np.all(got[:4] == 0)
+    assert np.all(got[4:] == 1)
