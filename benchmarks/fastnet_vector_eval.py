@@ -270,9 +270,18 @@ def main():
     merged_fast = _chain(root, "fast", fast_ckpt, fast_toml, dataset_toml, cli.grid, cli.merge_threshold)
     chain_s = time.perf_counter() - t0
 
+    # The chains merge features within the threshold, so gt shapes closer
+    # than the threshold fuse in any correct output; matching 1:1 against the
+    # UNMERGED gt would cap recall below 1 even for a perfect chain. Run the
+    # gt collection through the same merge for the apples-to-apples rows.
+    from robosat_tpu.tools import merge as merge_tool
+
+    gt_merged = os.path.join(root, "gt_merged.geojson")
+    merge_tool.main(argparse.Namespace(features=gt_path, threshold=cli.merge_threshold, out=gt_merged))
+
     fast_vs_flag = _match(merged_fast, merged_flag)
-    flag_vs_gt = _match(merged_flag, gt_path)
-    fast_vs_gt = _match(merged_fast, gt_path)
+    flag_vs_gt = _match(merged_flag, gt_merged)
+    fast_vs_gt = _match(merged_fast, gt_merged)
 
     if cli.keep:
         shutil.copytree(root, cli.keep, dirs_exist_ok=True)

@@ -26,6 +26,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("n", type=int, nargs="?", default=10000)
     parser.add_argument("--threshold", type=int, default=2)
+    parser.add_argument("--two_step", action="store_true",
+                        help="profile the pre-fusion per-component union/erode path")
     args = parser.parse_args()
 
     from robosat_tpu.geo import geojson
@@ -58,39 +60,79 @@ def main():
         idx = make_index(shapes_el)
         t = clock("rtree_build", t)
 
-        embiggened = [buffer_geometry(geom, args.threshold) for geom in shapes_el]
-        t = clock("grow_buffer", t)
-
         graph = UndirectedGraph()
         n_pred = 0
-        for i, grown in enumerate(embiggened):
-            graph.add_edge(i, i)
-            if grown.is_empty:
-                continue
-            nearest = [j for j in idx.intersection(grown.bounds) if i != j]
-            for j in nearest:
-                n_pred += 1
-                if geometries_intersect(grown, shapes_el[j]):
-                    graph.add_edge(i, j)
-        components = list(graph.components())
-        t = clock("graph_predicates", t)
+        if args.two_step:
+            embiggened = [buffer_geometry(geom, args.threshold) for geom in shapes_el]
+            t = clock("grow_buffer", t)
 
-        unions = [union([embiggened[v] for v in component]) for component in components]
-        t = clock("component_union", t)
+            for i, grown in enumerate(embiggened):
+                graph.add_edge(i, i)
+                if grown.is_empty:
+                    continue
+                nearest = [j for j in idx.intersection(grown.bounds) if i != j]
+                for j in nearest:
+                    n_pred += 1
+                    if geometries_intersect(grown, shapes_el[j]):
+                        graph.add_edge(i, j)
+            components = list(graph.components())
+            t = clock("graph_predicates", t)
+        else:
+            # The shipped batched phases (tools/merge.grow_all / build_graph).
+            from robosat_tpu.tools.merge import build_graph, grow_all
 
-        eroded = [buffer_geometry(u, -args.threshold) for u in unions]
-        t = clock("erode_buffer", t)
+            embiggened = grow_all(shapes_el, args.threshold)
+            t = clock("grow_buffer", t)
+
+            build_graph(shapes_el, embiggened, idx, graph)
+            components = list(graph.components())
+            t = clock("graph_predicates", t)
+
+        if args.two_step:
+            unions = [union([embiggened[v] for v in component]) for component in components]
+            t = clock("component_union", t)
+
+            eroded = [buffer_geometry(u, -args.threshold) for u in unions]
+            t = clock("erode_buffer", t)
+        else:
+            # The shipped path: ONE fused native call for every component's
+            # union + negative buffer (tools/merge.merge_components).
+            from robosat_tpu.tools.merge import merge_components
+
+            eroded = merge_components(embiggened, components, args.threshold)
+            t = clock("union_erode_fused", t)
 
         features = []
-        for merged in eroded:
-            merged = project_el_wgs(merged)
-            if not merged.is_valid or merged.is_empty:
-                continue
-            polys = merged.geoms if isinstance(merged, MultiPolygon) else [merged]
-            oriented = [orient_polygon(p, sign=1.0) for p in polys]
-            geometry = oriented[0] if len(oriented) == 1 else MultiPolygon(oriented)
-            area = int(round(project_ea(geometry).area))
-            features.append(geojson.feature(mapping(geometry), properties={"area": area}))
+        if args.two_step:
+            for merged in eroded:
+                merged = project_el_wgs(merged)
+                if not merged.is_valid or merged.is_empty:
+                    continue
+                polys = merged.geoms if isinstance(merged, MultiPolygon) else [merged]
+                oriented = [orient_polygon(p, sign=1.0) for p in polys]
+                geometry = oriented[0] if len(oriented) == 1 else MultiPolygon(oriented)
+                area = int(round(project_ea(geometry).area))
+                features.append(geojson.feature(mapping(geometry), properties={"area": area}))
+        else:
+            # The shipped batched finish (tools/merge.main's tail).
+            from robosat_tpu.geo import proj
+            from robosat_tpu.geo.geometry import ring_area
+            from robosat_tpu.tools.merge import _project_multipolygons
+
+            merged_all = _project_multipolygons(eroded, proj.worldmercator_to_wgs)
+            oriented_all = []
+            for merged in merged_all:
+                if not merged.is_valid or merged.is_empty:
+                    continue
+                polys = merged.geoms if isinstance(merged, MultiPolygon) else [merged]
+                oriented = [orient_polygon(p, sign=1.0) for p in polys]
+                oriented_all.append(oriented[0] if len(oriented) == 1 else MultiPolygon(oriented))
+            as_mps = [g if isinstance(g, MultiPolygon) else MultiPolygon([g]) for g in oriented_all]
+            for geometry, ea in zip(oriented_all, _project_multipolygons(as_mps, proj.wgs_to_mollweide)):
+                area = int(round(sum(
+                    abs(ring_area(p.shell)) - sum(abs(ring_area(h)) for h in p.holes) for p in ea.geoms
+                )))
+                features.append(geojson.feature(mapping(geometry), properties={"area": area}))
         out_path = os.path.join(tmp, "merged.geojson")
         with open(out_path, "w") as fp:
             geojson.dump(geojson.feature_collection(features), fp)

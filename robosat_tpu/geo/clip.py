@@ -412,11 +412,13 @@ def _sweep(segs, q, op, want_geometry):
         active = []
         for span in current:
             lo, hi, pa, pb = span
-            dx = hi[0] - lo[0]
-            dy = hi[1] - lo[1]
-            ym = lo[1] + (xm - lo[0]) / dx * dy
-            y0 = lo[1] + (x0 - lo[0]) / dx * dy
-            y1 = lo[1] + (x1 - lo[0]) / dx * dy
+            # Slope form (one division per span-slab instead of three);
+            # native/geometry.cpp precomputes m per span — same value, so
+            # the snapped y0/y1 stay bit-identical across the two engines.
+            m = (hi[1] - lo[1]) / (hi[0] - lo[0])
+            ym = lo[1] + (xm - lo[0]) * m
+            y0 = lo[1] + (x0 - lo[0]) * m
+            y1 = lo[1] + (x1 - lo[0]) * m
             active.append((ym, y0, y1, pa, pb, span))
         if not active:
             continue

@@ -26,11 +26,20 @@ def as_ring(coords):
 
 
 def ring_area(ring):
-    """Signed area via the shoelace formula (positive = counter-clockwise)."""
+    """Signed area via the shoelace formula (positive = counter-clockwise).
+
+    Coordinates are centered on the first vertex before the products: at
+    projected-CRS magnitudes (EPSG:3395 / Mollweide x ~ 1.4e7 m) the raw
+    shoelace products are ~6e13 with an ulp of ~0.008 m^2 EACH, and a
+    ~100-vertex city-block ring accumulates ~1 m^2 of rounding error —
+    measured against the overlay engine's slab areas, which are computed in
+    a local frame and don't drift. Centering makes the products span-scaled
+    and the result exact to ~1e-9 relative."""
     ring = np.asarray(ring, dtype=np.float64)
     if len(ring) < 3:
         return 0.0
-    x, y = ring[:, 0], ring[:, 1]
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     # Shoelace with the wrap term split out (no np.roll copies).
     area2 = np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]) + x[-1] * y[0] - x[0] * y[-1]
     return 0.5 * float(area2)

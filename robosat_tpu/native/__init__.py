@@ -23,7 +23,7 @@ _OPS = {"union": 0, "intersection": 1, "difference": 2, "xor": 3, "nunion": 4, "
 
 
 def _build():
-    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread", "-o", _LIB + ".tmp", _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_LIB + ".tmp", _LIB)
 
@@ -71,6 +71,31 @@ def load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.rs_buffer_rings_batch.restype = ctypes.POINTER(ctypes.c_double)
+        lib.rs_buffer_rings_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rs_polys_intersect_batch.restype = None
+        lib.rs_polys_intersect_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int8),
+        ]
+        lib.rs_merge_components.restype = ctypes.POINTER(ctypes.c_double)
+        lib.rs_merge_components.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.rs_free.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -155,6 +180,127 @@ def buffer_rings(rings, radius, quad_segs, mode):
         out.append(coords[off : off + int(n)])
         off += int(n)
     return out, q.value
+
+
+def merge_components(comp_rings, comp_single, radius, quad_segs=8, threads=None):
+    """Fused batched merge-component finisher: per component, the N-ary
+    winding union of its canonical rings followed by the negative buffer
+    (`radius` > 0 is the erosion distance), in ONE native call for the whole
+    collection (robosat/tools/merge.py:58-65's per-component loop). Returns a
+    list (per component) of lists of welded (N, 2) boundary rings, ready for
+    `clip._assemble_polygons(..., presimplified=True)`. Components fan out
+    over `threads` workers (default: host CPUs); results are deterministic
+    and thread-count independent."""
+    lib = load()
+    assert lib is not None
+    n_comps = len(comp_rings)
+    flat_rings = [r for rings in comp_rings for r in rings]
+    ca, la, n_rings, keep = _pack(flat_rings)  # noqa: F841
+    comp_nrings = np.asarray([len(rings) for rings in comp_rings], np.int32)
+    singles = np.asarray([1 if s else 0 for s in comp_single], np.int32)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    out_lens_ptr = ctypes.POINTER(ctypes.c_int32)()
+    out_comp_ptr = ctypes.POINTER(ctypes.c_int32)()
+    total_rings = ctypes.c_int64(0)
+    coords_ptr = lib.rs_merge_components(
+        ca, la,
+        comp_nrings.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        singles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_comps, float(radius), int(quad_segs), int(threads),
+        ctypes.byref(out_lens_ptr), ctypes.byref(out_comp_ptr), ctypes.byref(total_rings),
+    )
+    return _unpack_grouped(lib, coords_ptr, out_lens_ptr, out_comp_ptr, total_rings.value, n_comps)
+
+
+def _unpack_grouped(lib, coords_ptr, lens_ptr, groups_ptr, n_rings, n_groups):
+    """Malloc'd (coords, ring lens, per-group ring counts) -> list per group
+    of (N, 2) ring arrays; frees the native buffers."""
+    try:
+        lens = np.ctypeslib.as_array(lens_ptr, shape=(n_rings,)).copy() if n_rings else np.zeros(0, np.int32)
+        per = np.ctypeslib.as_array(groups_ptr, shape=(n_groups,)).copy() if n_groups else np.zeros(0, np.int32)
+        total = int(lens.sum())
+        coords = (
+            np.ctypeslib.as_array(coords_ptr, shape=(total * 2,)).copy().reshape(-1, 2)
+            if total
+            else np.zeros((0, 2))
+        )
+    finally:
+        lib.rs_free(coords_ptr)
+        lib.rs_free(lens_ptr)
+        lib.rs_free(groups_ptr)
+    out, ri, off = [], 0, 0
+    for c in range(n_groups):
+        rings = []
+        for _ in range(int(per[c])):
+            n = int(lens[ri])
+            rings.append(coords[off : off + n])
+            ri += 1
+            off += n
+        out.append(rings)
+    return out
+
+
+def buffer_rings_batch(geom_rings, radius, quad_segs=8, mode="dilate", threads=None):
+    """rs_buffer_rings over many independent geometries in ONE native call
+    (`geom_rings`: list per geometry of canonical rings). Returns a list per
+    geometry of welded boundary rings. Threaded across host CPUs; results
+    are deterministic and thread-count independent."""
+    lib = load()
+    assert lib is not None
+    n_geoms = len(geom_rings)
+    flat = [r for rings in geom_rings for r in rings]
+    ca, la, _, keep = _pack(flat)  # noqa: F841
+    nrings = np.asarray([len(rings) for rings in geom_rings], np.int32)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    out_lens_ptr = ctypes.POINTER(ctypes.c_int32)()
+    out_geom_ptr = ctypes.POINTER(ctypes.c_int32)()
+    total_rings = ctypes.c_int64(0)
+    coords_ptr = lib.rs_buffer_rings_batch(
+        ca, la, nrings.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_geoms,
+        float(radius), int(quad_segs), BUFFER_MODES[mode], int(threads),
+        ctypes.byref(out_lens_ptr), ctypes.byref(out_geom_ptr), ctypes.byref(total_rings),
+    )
+    return _unpack_grouped(lib, coords_ptr, out_lens_ptr, out_geom_ptr, total_rings.value, n_geoms)
+
+
+def polys_intersect_batch(geoms, pairs, threads=None):
+    """Batched `polys_intersect` over index `pairs` into `geoms` (one native
+    call for the whole merge/dedupe candidate-graph build). Returns a bool
+    array aligned with pairs."""
+    lib = load()
+    assert lib is not None
+    n_pairs = len(pairs)
+    if n_pairs == 0:
+        return np.zeros(0, bool)
+    packs = [_pack_polygon_cached(g) for g in geoms]
+    ring_off = np.zeros(len(geoms) + 1, np.int64)
+    coord_off = np.zeros(len(geoms) + 1, np.int64)
+    for i, p in enumerate(packs):
+        coords_arr, lens_arr = p[3]
+        ring_off[i + 1] = ring_off[i] + len(lens_arr)
+        coord_off[i + 1] = coord_off[i] + len(coords_arr)
+    coords = np.concatenate([p[3][0] for p in packs]) if packs else np.zeros((0, 2))
+    lens = np.concatenate([p[3][1] for p in packs]) if packs else np.zeros(0, np.int32)
+    coords = np.ascontiguousarray(coords, np.float64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    pa = np.ascontiguousarray([p[0] for p in pairs], np.int32)
+    pb = np.ascontiguousarray([p[1] for p in pairs], np.int32)
+    out = np.zeros(n_pairs, np.int8)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    lib.rs_polys_intersect_batch(
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ring_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        coord_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_pairs, int(threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return out.astype(bool)
 
 
 def ring_is_simple(pts):

@@ -24,6 +24,7 @@
 #include <cstring>
 #include <map>
 #include <set>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -283,6 +284,8 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
 
     struct Span {
         Pt lo, hi;
+        double m;  // precomputed slope dy/dx — the per-slab interpolations
+                   // were three divisions per span-slab, the sweep's top cost
         int pa, pb;
     };
     std::vector<Span> spans;
@@ -295,6 +298,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             Span s;
             if (key.first.x < key.second.x) { s.lo = key.first; s.hi = key.second; }
             else { s.lo = key.second; s.hi = key.first; }
+            s.m = (s.hi.y - s.lo.y) / (s.hi.x - s.lo.x);
             s.pa = par.first;
             s.pb = par.second;
             spans.push_back(s);
@@ -305,10 +309,13 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
 
     // Slab sweep with an active list: spans sorted by entry x are admitted
     // once and compacted out once their right end falls behind the slab.
-    struct Active { double ym, y0, y1; int pa, pb; const Span* src; };
+    struct Active { double ym, y0, y1; int pa, pb; uint32_t src; };
     std::vector<Active> active;
     std::vector<char> covered_gap;
-    std::map<double, std::vector<std::array<double, 3>>> vertical;  // x -> (ylo,yhi,sign)
+    // Vertical boundary pieces collect into a flat vector (x, ylo, yhi,
+    // sign) and group by x after the sweep — the former std::map<double,
+    // vector> cost a red-black insert per piece (~3.5M per 10k merge).
+    std::vector<std::array<double, 4>> vertical;
 
     // Boundary-run coalescing: a covered gap whose bottom (or top) rides the
     // SAME span across consecutive slabs with contiguous snapped endpoints
@@ -317,33 +324,48 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     // the netted vertical boundary pieces attach — so the welded topology is
     // preserved while the edge soup shrinks by the average slab count per
     // boundary span (~20x on city-scale merges; see docs/PERF.md round 3).
+    // Open runs live in per-span slots (a span has at most one open run per
+    // side) — the former unordered_map<Span*, Run> hashed ~9M lookups.
     struct Run { double x0, y0, x1, y1; };
-    std::unordered_map<const Span*, Run> open_bottom, open_top;
-    auto flush_run = [&](std::unordered_map<const Span*, Run>& open, const Span* key, double nx0,
-                         double ny0, double nx1, double ny1, bool top) {
-        auto it = open.find(key);
-        if (it != open.end()) {
-            Run& r = it->second;
+    std::vector<Run> run_slot[2];
+    std::vector<char> run_open[2];
+    for (int side = 0; side < 2; side++) {
+        run_slot[side].resize(spans.size());
+        run_open[side].assign(spans.size(), 0);
+    }
+    auto flush_run = [&](int side, uint32_t key, double nx0, double ny0, double nx1, double ny1) {
+        Run& r = run_slot[side][key];
+        if (run_open[side][key]) {
             if (r.x1 == nx0 && r.y1 == ny0) {  // contiguous: extend
                 r.x1 = nx1;
                 r.y1 = ny1;
                 return;
             }
-            if (top) result.edges.insert(result.edges.end(), {r.x1, r.y1, r.x0, r.y0});
+            if (side) result.edges.insert(result.edges.end(), {r.x1, r.y1, r.x0, r.y0});
             else result.edges.insert(result.edges.end(), {r.x0, r.y0, r.x1, r.y1});
         }
-        open[key] = Run{nx0, ny0, nx1, ny1};
+        run_open[side][key] = 1;
+        r = Run{nx0, ny0, nx1, ny1};
     };
     auto flush_all = [&]() {
-        for (const auto& [key, r] : open_bottom)
-            result.edges.insert(result.edges.end(), {r.x0, r.y0, r.x1, r.y1});
-        for (const auto& [key, r] : open_top)
-            result.edges.insert(result.edges.end(), {r.x1, r.y1, r.x0, r.y0});
-        open_bottom.clear();
-        open_top.clear();
+        for (size_t i = 0; i < spans.size(); i++) {
+            if (run_open[0][i]) {
+                const Run& r = run_slot[0][i];
+                result.edges.insert(result.edges.end(), {r.x0, r.y0, r.x1, r.y1});
+            }
+            if (run_open[1][i]) {
+                const Run& r = run_slot[1][i];
+                result.edges.insert(result.edges.end(), {r.x1, r.y1, r.x0, r.y0});
+            }
+        }
     };
 
-    std::sort(spans.begin(), spans.end(), [](const Span& a, const Span& b) { return a.lo.x < b.lo.x; });
+    // Sort span INDICES by entry x (spans themselves stay put so the run
+    // slots above stay index-stable).
+    std::vector<uint32_t> order_sp(spans.size());
+    for (size_t i = 0; i < spans.size(); i++) order_sp[i] = (uint32_t)i;
+    std::sort(order_sp.begin(), order_sp.end(),
+              [&](uint32_t a, uint32_t b) { return spans[a].lo.x < spans[b].lo.x; });
     size_t ptr = 0;
     // Incrementally maintained active order: after splitting, no two spans
     // cross strictly inside a slab, so the ym-order is invariant while both
@@ -351,9 +373,9 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     // leavers plus an ordered insertion per ENTERING span (binary search on
     // ym at the entry slab). This was the dominant cost of city-scale
     // erodes (one ~30-element sort per slab, ~2k slabs per call).
-    std::vector<const Span*> current;
-    auto ym_at = [](const Span& s, double xm) {
-        return s.lo.y + (xm - s.lo.x) / (s.hi.x - s.lo.x) * (s.hi.y - s.lo.y);
+    std::vector<uint32_t> current;
+    auto ym_at = [&](const Span& s, double xm) {
+        return s.lo.y + (xm - s.lo.x) * s.m;
     };
     for (size_t k = 0; k + 1 < xs_v.size(); k++) {
         double x0 = xs_v[k], x1 = xs_v[k + 1];
@@ -361,34 +383,33 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
         // A span ending before x1 never spans a later slab either.
         size_t w = 0;
         for (size_t r = 0; r < current.size(); r++)
-            if (current[r]->hi.x >= x1) current[w++] = current[r];
+            if (spans[current[r]].hi.x >= x1) current[w++] = current[r];
         current.resize(w);
         double xm = 0.5 * (x0 + x1);
-        while (ptr < spans.size() && spans[ptr].lo.x <= x0) {
-            const Span* s = &spans[ptr++];
+        while (ptr < order_sp.size() && spans[order_sp[ptr]].lo.x <= x0) {
+            uint32_t si = order_sp[ptr++];
+            const Span* s = &spans[si];
             if (s->hi.x < x1) continue;
             double y = ym_at(*s, xm);
             size_t lo = 0, hi = current.size();
             while (lo < hi) {
                 size_t mid = (lo + hi) / 2;
-                if (ym_at(*current[mid], xm) < y) lo = mid + 1;
+                if (ym_at(spans[current[mid]], xm) < y) lo = mid + 1;
                 else hi = mid;
             }
-            current.insert(current.begin() + lo, s);
+            current.insert(current.begin() + lo, si);
         }
 
         active.clear();
-        for (const Span* sp_ptr : current) {
-            const Span& s = *sp_ptr;
-            double dx = s.hi.x - s.lo.x;
-            double dy = s.hi.y - s.lo.y;
+        for (uint32_t si : current) {
+            const Span& s = spans[si];
             Active a;
-            a.ym = s.lo.y + (xm - s.lo.x) / dx * dy;
-            a.y0 = s.lo.y + (x0 - s.lo.x) / dx * dy;
-            a.y1 = s.lo.y + (x1 - s.lo.x) / dx * dy;
+            a.ym = s.lo.y + (xm - s.lo.x) * s.m;
+            a.y0 = s.lo.y + (x0 - s.lo.x) * s.m;
+            a.y1 = s.lo.y + (x1 - s.lo.x) * s.m;
             a.pa = s.pa;
             a.pb = s.pb;
-            a.src = sp_ptr;
+            a.src = si;
             active.push_back(a);
         }
         if (active.empty()) continue;
@@ -398,7 +419,7 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
         for (size_t i = 1; i < active.size(); i++) {
             if (active[i].ym < active[i - 1].ym) {
                 Active tmp = active[i];
-                const Span* tsp = current[i];
+                uint32_t tsp = current[i];
                 size_t j = i;
                 while (j > 0 && active[j - 1].ym > tmp.ym) {
                     active[j] = active[j - 1];
@@ -450,8 +471,8 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 double by1 = snap(cur.y1, q);
                 double ty0 = snap(nxt.y0, q), ty1 = snap(nxt.y1, q);
                 double by0 = snap(cur.y0, q);
-                if (ty1 > by1) vertical[x1].push_back({by1, ty1, +1.0});
-                if (ty0 > by0) vertical[x0].push_back({by0, ty0, -1.0});
+                if (ty1 > by1) vertical.push_back({x1, by1, ty1, +1.0});
+                if (ty0 > by0) vertical.push_back({x0, by0, ty0, -1.0});
             }
         }
         if (want_edges) {
@@ -465,8 +486,8 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 if (above == below) continue;
                 const Active& a = active[idx];
                 double y0 = snap(a.y0, q), y1 = snap(a.y1, q);
-                if (above) flush_run(open_bottom, a.src, x0, y0, x1, y1, false);  // L->R
-                else flush_run(open_top, a.src, x0, y0, x1, y1, true);            // R->L
+                if (above) flush_run(0, a.src, x0, y0, x1, y1);  // L->R
+                else flush_run(1, a.src, x0, y0, x1, y1);        // R->L
             }
         }
     }
@@ -490,12 +511,18 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
         }
     }
 
-    // Net vertical boundary intervals per x.
-    for (const auto& [x, intervals] : vertical) {
-        std::vector<double> breaks;
-        for (const auto& iv : intervals) {
-            breaks.push_back(iv[0]);
-            breaks.push_back(iv[1]);
+    // Net vertical boundary intervals per x (flat vector grouped by x).
+    std::sort(vertical.begin(), vertical.end(),
+              [](const std::array<double, 4>& a, const std::array<double, 4>& b) { return a[0] < b[0]; });
+    std::vector<double> breaks;
+    for (size_t g = 0; g < vertical.size();) {
+        size_t g_end = g;
+        double x = vertical[g][0];
+        while (g_end < vertical.size() && vertical[g_end][0] == x) g_end++;
+        breaks.clear();
+        for (size_t i = g; i < g_end; i++) {
+            breaks.push_back(vertical[i][1]);
+            breaks.push_back(vertical[i][2]);
         }
         std::sort(breaks.begin(), breaks.end());
         breaks.erase(std::unique(breaks.begin(), breaks.end()), breaks.end());
@@ -503,11 +530,12 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             double lo_y = breaks[i], hi_y = breaks[i + 1];
             double mid = 0.5 * (lo_y + hi_y);
             int cover = 0;
-            for (const auto& iv : intervals)
-                if (iv[0] < mid && mid < iv[1]) cover += (int)iv[2];
+            for (size_t j = g; j < g_end; j++)
+                if (vertical[j][1] < mid && mid < vertical[j][2]) cover += (int)vertical[j][3];
             if (cover > 0) kept.insert(kept.end(), {x, lo_y, x, hi_y});
             else if (cover < 0) kept.insert(kept.end(), {x, hi_y, x, lo_y});
         }
+        g = g_end;
     }
 
     result.edges = std::move(kept);
@@ -744,11 +772,15 @@ LinkedRings link_rings(const std::vector<double>& edge_soup, double q) {
 // ---------------------------------------------------------------------------
 
 double ring_signed_area(const std::vector<Pt>& r) {
+    // Centered on the first vertex: raw shoelace products at projected-CRS
+    // magnitudes (~1.4e7 m) carry ~0.008 m^2 of rounding EACH and a long
+    // ring drifts ~1 m^2 (mirrors geo/geometry.py ring_area).
     double a = 0.0;
+    const Pt& o = r[0];
     for (size_t i = 0; i < r.size(); i++) {
         const Pt& p = r[i];
         const Pt& q2 = r[(i + 1) % r.size()];
-        a += p.x * q2.y - q2.x * p.y;
+        a += (p.x - o.x) * (q2.y - o.y) - (q2.x - o.x) * (p.y - o.y);
     }
     return 0.5 * a;
 }
@@ -1149,171 +1181,20 @@ bool convex_erode(const std::vector<Pt>& ring, double r, std::vector<Pt>& out) {
     return true;
 }
 
-}  // namespace
+// ---------------------------------------------------------------------------
+// Buffer core shared by rs_buffer_rings and the fused merge-component path:
+// fills `out` with final, input-frame rings and returns the snap quantum the
+// overlay used (the convex fast paths compute the same extent-scaled quantum
+// the Python wrapper expects even though no overlay ran).
+// ---------------------------------------------------------------------------
 
-extern "C" {
+struct RingsOut {
+    std::vector<double> coords;
+    std::vector<int32_t> lens;
+};
 
-// Intersection AND union areas of (a, b) from ONE slab sweep (op 6); writes
-// both through out2[0]=intersection, out2[1]=union. The iou hot path of
-// rs dedupe formerly ran two full overlays per candidate pair.
-void rs_overlay_iou_areas(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
-                          const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
-                          double* out2) {
-    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, 6, false);
-    out2[0] = r.area;
-    out2[1] = r.area2;
-}
-
-// 1 if the ring (len vertices, closing edge implied) is simple: no
-// degenerate edges, no collinear overlap between adjacent edges, and no
-// contact between non-adjacent edges (closed segments — touching counts as
-// contact). Port of geo/geometry.py ring_is_simple.
-int32_t rs_ring_is_simple(const double* c, int32_t len) {
-    if (len < 3) return 0;
-    for (int i = 0; i < len; i++) {
-        int j = (i + 1) % len;
-        if (c[2 * i] == c[2 * j] && c[2 * i + 1] == c[2 * j + 1]) return 0;  // zero-length edge
-    }
-    // Adjacent edges: shared endpoint allowed, collinear overlap is not.
-    for (int i = 0; i < len; i++) {
-        int j = (i + 1) % len;
-        int k = (i + 2) % len;
-        double px = c[2 * i], py = c[2 * i + 1];
-        double qx = c[2 * j], qy = c[2 * j + 1];
-        double rx = c[2 * k], ry = c[2 * k + 1];
-        // Collinear test of edge (p, q) against edge (q, r): both of r's
-        // endpoints on line (p, q) — q is by construction, so only r needs
-        // checking.
-        double g1 = (qx - px) * (ry - py) - (qy - py) * (rx - px);
-        if (g1 == 0.0) {
-            // Collinear: overlap length along the dominant axis.
-            bool use_x = std::fabs(qx - px) >= std::fabs(qy - py);
-            double pa = use_x ? px : py, pb = use_x ? qx : qy;
-            double qa = use_x ? qx : qy, qb = use_x ? rx : ry;
-            double overlap = std::min(std::max(pa, pb), std::max(qa, qb)) -
-                             std::max(std::min(pa, pb), std::min(qa, qb));
-            if (overlap > 0.0) return 0;
-        }
-    }
-    // Non-adjacent pairs with a per-edge bbox cull.
-    for (int i = 0; i < len; i++) {
-        int i2 = (i + 1) % len;
-        double ax1 = c[2 * i], ay1 = c[2 * i + 1];
-        double ax2 = c[2 * i2], ay2 = c[2 * i2 + 1];
-        double axlo = std::min(ax1, ax2), axhi = std::max(ax1, ax2);
-        double aylo = std::min(ay1, ay2), ayhi = std::max(ay1, ay2);
-        for (int j = i + 2; j < len; j++) {
-            if (i == 0 && j == len - 1) continue;  // adjacent via the closing edge
-            int j2 = (j + 1) % len;
-            double bx1 = c[2 * j], by1 = c[2 * j + 1];
-            double bx2 = c[2 * j2], by2 = c[2 * j2 + 1];
-            if (std::max(bx1, bx2) < axlo || std::min(bx1, bx2) > axhi ||
-                std::max(by1, by2) < aylo || std::min(by1, by2) > ayhi)
-                continue;
-            if (segs_intersect_c(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)) return 0;
-        }
-    }
-    return 1;
-}
-
-// 1 if polygon A (shell + holes) and polygon B share any point, else 0.
-int32_t rs_polys_intersect(const double* ca, const int32_t* la, int32_t na,
-                           const double* cb, const int32_t* lb, int32_t nb) {
-    if (na <= 0 || nb <= 0 || la[0] < 3 || lb[0] < 3) return 0;
-    // Containment (either direction) via the first shell vertices.
-    if (poly_contains_point_c(ca[0], ca[1], cb, lb, nb)) return 1;
-    if (poly_contains_point_c(cb[0], cb[1], ca, la, na)) return 1;
-    // Boundary crossing: all ring-segment pairs with per-segment bbox cull.
-    int64_t offa = 0;
-    for (int ra = 0; ra < na; ra++) {
-        int lena = la[ra];
-        const double* A = ca + 2 * offa;
-        offa += lena;
-        if (lena < 2) continue;
-        int64_t offb = 0;
-        for (int rb = 0; rb < nb; rb++) {
-            int lenb = lb[rb];
-            const double* B = cb + 2 * offb;
-            offb += lenb;
-            if (lenb < 2) continue;
-            for (int i = 0; i < lena; i++) {
-                double ax1 = A[2 * i], ay1 = A[2 * i + 1];
-                int i2 = (i + 1) % lena;
-                double ax2 = A[2 * i2], ay2 = A[2 * i2 + 1];
-                double axlo = std::min(ax1, ax2), axhi = std::max(ax1, ax2);
-                double aylo = std::min(ay1, ay2), ayhi = std::max(ay1, ay2);
-                for (int j = 0; j < lenb; j++) {
-                    double bx1 = B[2 * j], by1 = B[2 * j + 1];
-                    int j2 = (j + 1) % lenb;
-                    double bx2 = B[2 * j2], by2 = B[2 * j2 + 1];
-                    if (std::max(bx1, bx2) < axlo || std::min(bx1, bx2) > axhi ||
-                        std::max(by1, by2) < aylo || std::min(by1, by2) > ayhi)
-                        continue;
-                    if (segs_intersect_c(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)) return 1;
-                }
-            }
-        }
-    }
-    return 0;
-}
-
-
-double rs_overlay_area(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
-                       const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
-                       int32_t op) {
-    return run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, false).area;
-}
-
-// Returns a malloc'd array of 4*count doubles (x1,y1,x2,y2 per edge); the
-// caller frees it with rs_free. count is written through out_count.
-double* rs_overlay_edges(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
-                         const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
-                         int32_t op, int64_t* out_count) {
-    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
-    *out_count = (int64_t)(r.edges.size() / 4);
-    double* out = (double*)std::malloc(r.edges.size() * sizeof(double));
-    if (out)
-        for (size_t i = 0; i < r.edges.size(); i += 2) {
-            out[i] = r.edges[i] + r.sx;
-            out[i + 1] = r.edges[i + 1] + r.sy;
-        }
-    return out;
-}
-
-// Full boolean overlay returning welded+linked rings. Writes the number of
-// rings through out_n_rings and a malloc'd int32 array of per-ring vertex
-// counts through out_lens; returns a malloc'd double array of x,y coords
-// (sum(lens) * 2 values). Caller frees both with rs_free.
-double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
-                         const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
-                         int32_t op, int32_t** out_lens, int64_t* out_n_rings) {
-    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
-    LinkedRings linked = link_rings(r.edges, r.q);  // links in the shifted frame
-    *out_n_rings = (int64_t)linked.lens.size();
-    *out_lens = (int32_t*)std::malloc(std::max(linked.lens.size(), (size_t)1) * sizeof(int32_t));
-    if (*out_lens) std::copy(linked.lens.begin(), linked.lens.end(), *out_lens);
-    double* out = (double*)std::malloc(std::max(linked.coords.size(), (size_t)1) * sizeof(double));
-    if (out)
-        for (size_t i = 0; i < linked.coords.size(); i += 2) {
-            out[i] = linked.coords[i] + r.sx;
-            out[i + 1] = linked.coords[i + 1] + r.sy;
-        }
-    return out;
-}
-
-// Minkowski buffer: piece generation + overlay + ring linking in one call.
-// mode 0: polygon dilation — input rings (canonically oriented: shells CCW,
-//   holes CW) enter the winding union together with per-ring quads/wedges.
-// mode 1: open-path dilation — each input "ring" is an open path.
-// mode 2: polygon erosion — input rings (canonically oriented, even-odd base)
-//   intersected with the winding>0 region of their inward raw offset curves
-//   (op 7), or minus the winding union of boundary halo pieces (op 5) when a
-//   ring degenerates.
-// Returns linked rings like rs_overlay_rings; writes the snap quantum used
-// through out_q (for the caller's collinear-simplification tolerance).
-double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t n_rings,
-                        double radius, int32_t quad_segs, int32_t mode,
-                        int32_t** out_lens, int64_t* out_n_rings, double* out_q) {
+double buffer_rings_core(const double* coords, const int32_t* ring_lens, int n_rings,
+                         double radius, int quad_segs, int mode, RingsOut& out) {
     // Convex single-ring dilation/erosion needs no overlay at all.
     if ((mode == 0 || mode == 2) && n_rings == 1 && radius > 0.0) {
         int len = ring_lens[0];
@@ -1328,17 +1209,12 @@ double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t 
                 lo = std::min(lo, std::min(p.x, p.y));
                 hi = std::max(hi, std::max(p.x, p.y));
             }
-            *out_q = std::max(std::max(hi - lo, std::fabs(hi)), std::max(std::fabs(lo), 1e-30)) * 1e-10;
-            *out_n_rings = 1;
-            *out_lens = (int32_t*)std::malloc(sizeof(int32_t));
-            if (*out_lens) (*out_lens)[0] = (int32_t)dilated.size();
-            double* out = (double*)std::malloc(std::max(dilated.size() * 2, (size_t)1) * sizeof(double));
-            if (out)
-                for (size_t i = 0; i < dilated.size(); i++) {
-                    out[2 * i] = dilated[i].x;
-                    out[2 * i + 1] = dilated[i].y;
-                }
-            return out;
+            out.lens.push_back((int32_t)dilated.size());
+            for (const Pt& p : dilated) {
+                out.coords.push_back(p.x);
+                out.coords.push_back(p.y);
+            }
+            return std::max(std::max(hi - lo, std::fabs(hi)), std::max(std::fabs(lo), 1e-30)) * 1e-10;
         }
     }
     Overlay r;
@@ -1348,7 +1224,7 @@ double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t 
         // ~n overlapping quad/wedge pieces in the overlay (offset_curve
         // docstring above; mirrors buffer.py's curve-first construction).
         // Requires canonically-oriented rings (shells CCW, holes CW) — the
-        // Python caller guarantees this for both modes.
+        // callers guarantee this for both modes.
         std::vector<double> ccoords;
         std::vector<int32_t> clens;
         bool all_ok = n_rings > 0;
@@ -1421,7 +1297,202 @@ double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t 
                             nullptr, nullptr, 0, 4, true);
         }
     }
-    *out_q = r.q;
+    LinkedRings linked = link_rings(r.edges, r.q);  // links in the shifted frame
+    for (size_t ri = 0, off2 = 0; ri < linked.lens.size(); ri++) {
+        out.lens.push_back(linked.lens[ri]);
+        for (int i = 0; i < linked.lens[ri]; i++, off2++) {
+            out.coords.push_back(linked.coords[2 * off2] + r.sx);
+            out.coords.push_back(linked.coords[2 * off2 + 1] + r.sy);
+        }
+    }
+    return r.q;
+}
+
+// One merge component, fused: N-ary winding union of the members' canonical
+// rings (skipped for single-member components — the reference's
+// functools.reduce union returns a lone element unchanged,
+// robosat/spatial/core.py:25-40) followed by the negative buffer, without
+// the Python round trip between the two overlays
+// (robosat/tools/merge.py:58-65 is the behavior being fused).
+void merge_component_core(const double* coords, const int32_t* ring_lens, int n_rings,
+                          bool single, double radius, int quad_segs, RingsOut& out) {
+    if (n_rings <= 0) return;
+    if (single) {
+        buffer_rings_core(coords, ring_lens, n_rings, radius, quad_segs, 2, out);
+        return;
+    }
+    Overlay r = run_overlay(coords, ring_lens, n_rings, nullptr, nullptr, 0, 4, true);
+    LinkedRings linked = link_rings(r.edges, r.q);
+    if (linked.lens.empty()) return;
+    // Shift back to the input frame (exactly what rs_overlay_rings hands the
+    // Python caller between the two steps) and drop zero-area rings (the
+    // shell/hole assembly between the steps discards them — clip.py
+    // _assemble_polygons keeps only a != 0).
+    RingsOut base;
+    size_t off = 0;
+    std::vector<Pt> ring;
+    for (size_t ri = 0; ri < linked.lens.size(); ri++) {
+        int len = linked.lens[ri];
+        ring.assign(len, Pt{});
+        for (int i = 0; i < len; i++)
+            ring[i] = Pt{linked.coords[2 * (off + i)] + r.sx, linked.coords[2 * (off + i) + 1] + r.sy};
+        off += len;
+        if (ring_signed_area(ring) == 0.0) continue;
+        base.lens.push_back(len);
+        for (const Pt& p : ring) {
+            base.coords.push_back(p.x);
+            base.coords.push_back(p.y);
+        }
+    }
+    if (base.lens.empty()) return;
+    buffer_rings_core(base.coords.data(), base.lens.data(), (int)base.lens.size(),
+                      radius, quad_segs, 2, out);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Intersection AND union areas of (a, b) from ONE slab sweep (op 6); writes
+// both through out2[0]=intersection, out2[1]=union. The iou hot path of
+// rs dedupe formerly ran two full overlays per candidate pair.
+void rs_overlay_iou_areas(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                          const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                          double* out2) {
+    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, 6, false);
+    out2[0] = r.area;
+    out2[1] = r.area2;
+}
+
+// 1 if the ring (len vertices, closing edge implied) is simple: no
+// degenerate edges, no collinear overlap between adjacent edges, and no
+// contact between non-adjacent edges (closed segments — touching counts as
+// contact). Port of geo/geometry.py ring_is_simple.
+int32_t rs_ring_is_simple(const double* c, int32_t len) {
+    if (len < 3) return 0;
+    for (int i = 0; i < len; i++) {
+        int j = (i + 1) % len;
+        if (c[2 * i] == c[2 * j] && c[2 * i + 1] == c[2 * j + 1]) return 0;  // zero-length edge
+    }
+    // Adjacent edges: shared endpoint allowed, collinear overlap is not.
+    for (int i = 0; i < len; i++) {
+        int j = (i + 1) % len;
+        int k = (i + 2) % len;
+        double px = c[2 * i], py = c[2 * i + 1];
+        double qx = c[2 * j], qy = c[2 * j + 1];
+        double rx = c[2 * k], ry = c[2 * k + 1];
+        // Collinear test of edge (p, q) against edge (q, r): both of r's
+        // endpoints on line (p, q) — q is by construction, so only r needs
+        // checking.
+        double g1 = (qx - px) * (ry - py) - (qy - py) * (rx - px);
+        if (g1 == 0.0) {
+            // Collinear: overlap length along the dominant axis.
+            bool use_x = std::fabs(qx - px) >= std::fabs(qy - py);
+            double pa = use_x ? px : py, pb = use_x ? qx : qy;
+            double qa = use_x ? qx : qy, qb = use_x ? rx : ry;
+            double overlap = std::min(std::max(pa, pb), std::max(qa, qb)) -
+                             std::max(std::min(pa, pb), std::min(qa, qb));
+            if (overlap > 0.0) return 0;
+        }
+    }
+    // Non-adjacent pairs with a per-edge bbox cull.
+    for (int i = 0; i < len; i++) {
+        int i2 = (i + 1) % len;
+        double ax1 = c[2 * i], ay1 = c[2 * i + 1];
+        double ax2 = c[2 * i2], ay2 = c[2 * i2 + 1];
+        double axlo = std::min(ax1, ax2), axhi = std::max(ax1, ax2);
+        double aylo = std::min(ay1, ay2), ayhi = std::max(ay1, ay2);
+        for (int j = i + 2; j < len; j++) {
+            if (i == 0 && j == len - 1) continue;  // adjacent via the closing edge
+            int j2 = (j + 1) % len;
+            double bx1 = c[2 * j], by1 = c[2 * j + 1];
+            double bx2 = c[2 * j2], by2 = c[2 * j2 + 1];
+            if (std::max(bx1, bx2) < axlo || std::min(bx1, bx2) > axhi ||
+                std::max(by1, by2) < aylo || std::min(by1, by2) > ayhi)
+                continue;
+            if (segs_intersect_c(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)) return 0;
+        }
+    }
+    return 1;
+}
+
+// 1 if polygon A (shell + holes) and polygon B share any point, else 0.
+static int32_t rs_polys_intersect_impl(const double* ca, const int32_t* la, int32_t na,
+                                       const double* cb, const int32_t* lb, int32_t nb) {
+    if (na <= 0 || nb <= 0 || la[0] < 3 || lb[0] < 3) return 0;
+    // Containment (either direction) via the first shell vertices.
+    if (poly_contains_point_c(ca[0], ca[1], cb, lb, nb)) return 1;
+    if (poly_contains_point_c(cb[0], cb[1], ca, la, na)) return 1;
+    // Boundary crossing: all ring-segment pairs with per-segment bbox cull.
+    int64_t offa = 0;
+    for (int ra = 0; ra < na; ra++) {
+        int lena = la[ra];
+        const double* A = ca + 2 * offa;
+        offa += lena;
+        if (lena < 2) continue;
+        int64_t offb = 0;
+        for (int rb = 0; rb < nb; rb++) {
+            int lenb = lb[rb];
+            const double* B = cb + 2 * offb;
+            offb += lenb;
+            if (lenb < 2) continue;
+            for (int i = 0; i < lena; i++) {
+                double ax1 = A[2 * i], ay1 = A[2 * i + 1];
+                int i2 = (i + 1) % lena;
+                double ax2 = A[2 * i2], ay2 = A[2 * i2 + 1];
+                double axlo = std::min(ax1, ax2), axhi = std::max(ax1, ax2);
+                double aylo = std::min(ay1, ay2), ayhi = std::max(ay1, ay2);
+                for (int j = 0; j < lenb; j++) {
+                    double bx1 = B[2 * j], by1 = B[2 * j + 1];
+                    int j2 = (j + 1) % lenb;
+                    double bx2 = B[2 * j2], by2 = B[2 * j2 + 1];
+                    if (std::max(bx1, bx2) < axlo || std::min(bx1, bx2) > axhi ||
+                        std::max(by1, by2) < aylo || std::min(by1, by2) > ayhi)
+                        continue;
+                    if (segs_intersect_c(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)) return 1;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+int32_t rs_polys_intersect(const double* ca, const int32_t* la, int32_t na,
+                           const double* cb, const int32_t* lb, int32_t nb) {
+    return rs_polys_intersect_impl(ca, la, na, cb, lb, nb);
+}
+
+
+double rs_overlay_area(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                       const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                       int32_t op) {
+    return run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, false).area;
+}
+
+// Returns a malloc'd array of 4*count doubles (x1,y1,x2,y2 per edge); the
+// caller frees it with rs_free. count is written through out_count.
+double* rs_overlay_edges(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                         const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                         int32_t op, int64_t* out_count) {
+    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
+    *out_count = (int64_t)(r.edges.size() / 4);
+    double* out = (double*)std::malloc(r.edges.size() * sizeof(double));
+    if (out)
+        for (size_t i = 0; i < r.edges.size(); i += 2) {
+            out[i] = r.edges[i] + r.sx;
+            out[i + 1] = r.edges[i + 1] + r.sy;
+        }
+    return out;
+}
+
+// Full boolean overlay returning welded+linked rings. Writes the number of
+// rings through out_n_rings and a malloc'd int32 array of per-ring vertex
+// counts through out_lens; returns a malloc'd double array of x,y coords
+// (sum(lens) * 2 values). Caller frees both with rs_free.
+double* rs_overlay_rings(const double* coords_a, const int32_t* rings_a, int32_t n_rings_a,
+                         const double* coords_b, const int32_t* rings_b, int32_t n_rings_b,
+                         int32_t op, int32_t** out_lens, int64_t* out_n_rings) {
+    Overlay r = run_overlay(coords_a, rings_a, n_rings_a, coords_b, rings_b, n_rings_b, op, true);
     LinkedRings linked = link_rings(r.edges, r.q);  // links in the shifted frame
     *out_n_rings = (int64_t)linked.lens.size();
     *out_lens = (int32_t*)std::malloc(std::max(linked.lens.size(), (size_t)1) * sizeof(int32_t));
@@ -1432,6 +1503,188 @@ double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t 
             out[i] = linked.coords[i] + r.sx;
             out[i + 1] = linked.coords[i + 1] + r.sy;
         }
+    return out;
+}
+
+// Minkowski buffer: piece generation + overlay + ring linking in one call.
+// mode 0: polygon dilation — input rings (canonically oriented: shells CCW,
+//   holes CW) enter the winding union together with per-ring quads/wedges.
+// mode 1: open-path dilation — each input "ring" is an open path.
+// mode 2: polygon erosion — input rings (canonically oriented, even-odd base)
+//   intersected with the winding>0 region of their inward raw offset curves
+//   (op 7), or minus the winding union of boundary halo pieces (op 5) when a
+//   ring degenerates.
+// Returns linked rings like rs_overlay_rings; writes the snap quantum used
+// through out_q (for the caller's collinear-simplification tolerance).
+double* rs_buffer_rings(const double* coords, const int32_t* ring_lens, int32_t n_rings,
+                        double radius, int32_t quad_segs, int32_t mode,
+                        int32_t** out_lens, int64_t* out_n_rings, double* out_q) {
+    RingsOut rings;
+    *out_q = buffer_rings_core(coords, ring_lens, n_rings, radius, quad_segs, mode, rings);
+    *out_n_rings = (int64_t)rings.lens.size();
+    *out_lens = (int32_t*)std::malloc(std::max(rings.lens.size(), (size_t)1) * sizeof(int32_t));
+    if (*out_lens) std::copy(rings.lens.begin(), rings.lens.end(), *out_lens);
+    double* out = (double*)std::malloc(std::max(rings.coords.size(), (size_t)1) * sizeof(double));
+    if (out) std::copy(rings.coords.begin(), rings.coords.end(), out);
+    return out;
+}
+
+// Batched Minkowski buffer: rs_buffer_rings over many independent geometries
+// in ONE native call (the `rs merge` grow phase ran one ctypes crossing per
+// feature, robosat/tools/merge.py:50-52), optionally threaded — geometries
+// are independent and each writes its own output slot, so results are
+// deterministic and thread-count independent.
+double* rs_buffer_rings_batch(const double* coords, const int32_t* ring_lens,
+                              const int32_t* geom_nrings, int32_t n_geoms,
+                              double radius, int32_t quad_segs, int32_t mode,
+                              int32_t n_threads,
+                              int32_t** out_ring_lens, int32_t** out_geom_nrings,
+                              int64_t* out_total_rings) {
+    std::vector<int64_t> ring_off(n_geoms + 1, 0), coord_off(n_geoms + 1, 0);
+    {
+        int64_t roff = 0, coff = 0;
+        for (int c = 0; c < n_geoms; c++) {
+            ring_off[c] = roff;
+            coord_off[c] = coff;
+            for (int ri = 0; ri < geom_nrings[c]; ri++) coff += ring_lens[roff + ri];
+            roff += geom_nrings[c];
+        }
+        ring_off[n_geoms] = roff;
+        coord_off[n_geoms] = coff;
+    }
+    std::vector<RingsOut> outs(std::max(n_geoms, 1));
+    auto work = [&](int t, int stride) {
+        for (int c = t; c < n_geoms; c += stride)
+            buffer_rings_core(coords + 2 * coord_off[c], ring_lens + ring_off[c],
+                              geom_nrings[c], radius, quad_segs, mode, outs[c]);
+    };
+    if (n_threads <= 1 || n_geoms <= 1) {
+        work(0, 1);
+    } else {
+        int t_use = std::min(n_threads, n_geoms);
+        std::vector<std::thread> pool;
+        pool.reserve(t_use - 1);
+        for (int t = 1; t < t_use; t++) pool.emplace_back(work, t, t_use);
+        work(0, t_use);
+        for (auto& th : pool) th.join();
+    }
+    size_t total_rings = 0, total_coords = 0;
+    for (const RingsOut& r : outs) {
+        total_rings += r.lens.size();
+        total_coords += r.coords.size();
+    }
+    *out_total_rings = (int64_t)total_rings;
+    *out_geom_nrings = (int32_t*)std::malloc(std::max((size_t)n_geoms, (size_t)1) * sizeof(int32_t));
+    *out_ring_lens = (int32_t*)std::malloc(std::max(total_rings, (size_t)1) * sizeof(int32_t));
+    double* out = (double*)std::malloc(std::max(total_coords, (size_t)1) * sizeof(double));
+    if (!*out_geom_nrings || !*out_ring_lens || !out) return out;
+    size_t rpos = 0, cpos = 0;
+    for (int c = 0; c < n_geoms; c++) {
+        (*out_geom_nrings)[c] = (int32_t)outs[c].lens.size();
+        std::copy(outs[c].lens.begin(), outs[c].lens.end(), *out_ring_lens + rpos);
+        rpos += outs[c].lens.size();
+        std::copy(outs[c].coords.begin(), outs[c].coords.end(), out + cpos);
+        cpos += outs[c].coords.size();
+    }
+    return out;
+}
+
+// Batched polygon-pair intersection predicates: one call for all R-tree
+// candidate pairs of the merge/dedupe graph build (robosat/tools/merge.py:
+// 54-56 ran one GEOS .intersects per candidate). Geometries are packed once
+// (coords + per-geometry ring offsets); pairs index into them. Writes 0/1
+// per pair; threaded like the batch buffers.
+void rs_polys_intersect_batch(const double* coords, const int32_t* ring_lens,
+                              const int64_t* geom_ring_off, const int64_t* geom_coord_off,
+                              const int32_t* pairs_a, const int32_t* pairs_b, int64_t n_pairs,
+                              int32_t n_threads, int8_t* out) {
+    auto work = [&](int64_t t, int64_t stride) {
+        for (int64_t k = t; k < n_pairs; k += stride) {
+            int32_t a = pairs_a[k], b = pairs_b[k];
+            out[k] = (int8_t)rs_polys_intersect_impl(
+                coords + 2 * geom_coord_off[a], ring_lens + geom_ring_off[a],
+                (int32_t)(geom_ring_off[a + 1] - geom_ring_off[a]),
+                coords + 2 * geom_coord_off[b], ring_lens + geom_ring_off[b],
+                (int32_t)(geom_ring_off[b + 1] - geom_ring_off[b]));
+        }
+    };
+    if (n_threads <= 1 || n_pairs <= 1) {
+        work(0, 1);
+    } else {
+        int64_t t_use = std::min((int64_t)n_threads, n_pairs);
+        std::vector<std::thread> pool;
+        pool.reserve(t_use - 1);
+        for (int64_t t = 1; t < t_use; t++) pool.emplace_back(work, t, t_use);
+        work(0, t_use);
+        for (auto& th : pool) th.join();
+    }
+}
+
+// Fused, batched merge-component finisher: for every component, the N-ary
+// union of its (grown) member rings followed by the negative buffer — the
+// whole "Merging components" loop of rs merge (robosat/tools/merge.py:58-75's
+// cascaded union + buffer(-threshold)) in ONE native call instead of two
+// ctypes crossings plus a Python assemble/canonicalize round trip per
+// component. Components are independent, so they optionally fan out over
+// n_threads identical workers (deterministic: each writes its own slot).
+//
+// Inputs: all components' canonical rings concatenated (coords/ring_lens),
+// comp_nrings[i] rings per component, comp_single[i] nonzero when the
+// component has a single non-empty member (union skipped, reference
+// semantics). Outputs mirror rs_buffer_rings, plus per-component ring counts.
+double* rs_merge_components(const double* coords, const int32_t* ring_lens,
+                            const int32_t* comp_nrings, const int32_t* comp_single,
+                            int32_t n_comps, double radius, int32_t quad_segs,
+                            int32_t n_threads,
+                            int32_t** out_ring_lens, int32_t** out_comp_nrings,
+                            int64_t* out_total_rings) {
+    std::vector<int64_t> ring_off(n_comps + 1, 0), coord_off(n_comps + 1, 0);
+    {
+        int64_t roff = 0, coff = 0;
+        for (int c = 0; c < n_comps; c++) {
+            ring_off[c] = roff;
+            coord_off[c] = coff;
+            for (int ri = 0; ri < comp_nrings[c]; ri++) coff += ring_lens[roff + ri];
+            roff += comp_nrings[c];
+        }
+        ring_off[n_comps] = roff;
+        coord_off[n_comps] = coff;
+    }
+    std::vector<RingsOut> outs(std::max(n_comps, 1));
+    auto work = [&](int t, int stride) {
+        for (int c = t; c < n_comps; c += stride)
+            merge_component_core(coords + 2 * coord_off[c], ring_lens + ring_off[c],
+                                 comp_nrings[c], comp_single[c] != 0, radius, quad_segs, outs[c]);
+    };
+    if (n_threads <= 1 || n_comps <= 1) {
+        work(0, 1);
+    } else {
+        int t_use = std::min(n_threads, n_comps);
+        std::vector<std::thread> pool;
+        pool.reserve(t_use - 1);
+        for (int t = 1; t < t_use; t++) pool.emplace_back(work, t, t_use);
+        work(0, t_use);
+        for (auto& th : pool) th.join();
+    }
+
+    size_t total_rings = 0, total_coords = 0;
+    for (const RingsOut& r : outs) {
+        total_rings += r.lens.size();
+        total_coords += r.coords.size();
+    }
+    *out_total_rings = (int64_t)total_rings;
+    *out_comp_nrings = (int32_t*)std::malloc(std::max((size_t)n_comps, (size_t)1) * sizeof(int32_t));
+    *out_ring_lens = (int32_t*)std::malloc(std::max(total_rings, (size_t)1) * sizeof(int32_t));
+    double* out = (double*)std::malloc(std::max(total_coords, (size_t)1) * sizeof(double));
+    if (!*out_comp_nrings || !*out_ring_lens || !out) return out;
+    size_t rpos = 0, cpos = 0;
+    for (int c = 0; c < n_comps; c++) {
+        (*out_comp_nrings)[c] = (int32_t)outs[c].lens.size();
+        std::copy(outs[c].lens.begin(), outs[c].lens.end(), *out_ring_lens + rpos);
+        rpos += outs[c].lens.size();
+        std::copy(outs[c].coords.begin(), outs[c].coords.end(), out + cpos);
+        cpos += outs[c].coords.size();
+    }
     return out;
 }
 

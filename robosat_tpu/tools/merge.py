@@ -5,18 +5,164 @@ in EPSG:3395 meters, connect intersecting buffered shapes into components
 (R-tree candidates + union-find), union each component, negative-buffer back,
 orient exteriors counter-clockwise, attach the equal-area m^2 `area`
 property. Built entirely on the in-repo geometry engine.
+
+The hot phases run BATCHED through the native engine — one ctypes call for
+all grow buffers, one for all candidate intersection predicates, one fused
+union+erode call for all components — with the original per-feature loops
+kept as the pure-Python-engine fallback and test oracle.
 """
 
 import argparse
 import sys
 
+import numpy as np
 from tqdm import tqdm
 
-from robosat_tpu.geo import geojson
+from robosat_tpu.geo import clip, geojson, proj
 from robosat_tpu.geo.buffer import buffer_geometry
-from robosat_tpu.geo.geometry import MultiPolygon, geometries_intersect, mapping, orient_polygon, shape
+from robosat_tpu.geo.geometry import (
+    MultiPolygon,
+    Polygon,
+    bounds_intersect,
+    geometries_intersect,
+    mapping,
+    orient_polygon,
+    ring_area,
+    shape,
+)
 from robosat_tpu.graph import UndirectedGraph
-from robosat_tpu.spatial.core import make_index, project_ea, project_el_wgs, project_wgs_el, union
+from robosat_tpu.spatial.core import make_index, project_wgs_el, union
+
+
+def _native():
+    try:
+        from robosat_tpu import native as native_mod
+
+        if native_mod.load() is not None:
+            return native_mod
+    except Exception:  # pragma: no cover - import cycle safety
+        pass
+    return None
+
+
+def grow_all(shapes_el, threshold):
+    """Dilate every shape by the threshold (robosat/tools/merge.py:50-52) —
+    one batched native call for the whole collection when available."""
+    native = _native()
+    polygonal = all(isinstance(g, (Polygon, MultiPolygon)) for g in shapes_el)
+    if native is None or threshold <= 0 or not polygonal:
+        return [buffer_geometry(geom, threshold) for geom in
+                tqdm(shapes_el, desc="Growing shapes", unit="shapes", ascii=True)]
+    canon = [clip._canonical_union_rings([g]) for g in shapes_el]
+    results = native.buffer_rings_batch(canon, threshold, 8, "dilate")
+    return [clip._assemble_polygons(rings, 0.0, presimplified=True) for rings in results]
+
+
+def build_graph(shapes_el, embiggened, idx, graph):
+    """Connect every shape to the shapes its grown buffer intersects
+    (robosat/tools/merge.py:54-56). Candidate pairs come from the R-tree;
+    the segment/containment predicates run in one batched native call."""
+    native = _native()
+    if native is None:
+        for i, grown in enumerate(tqdm(embiggened, desc="Building graph", unit="shapes", ascii=True)):
+            graph.add_edge(i, i)
+            if grown.is_empty:
+                continue
+            for t in idx.intersection(grown.bounds):
+                if t != i and geometries_intersect(grown, shapes_el[t]):
+                    graph.add_edge(i, t)
+        return
+
+    polys = []
+
+    def slices(geoms):
+        out = []
+        for g in geoms:
+            ps = list(g.geoms) if isinstance(g, MultiPolygon) else [g]
+            out.append((len(polys), len(ps)))
+            polys.extend(ps)
+        return out
+
+    grown_sl = slices(embiggened)
+    shape_sl = slices(shapes_el)
+    cands, pairs, owner = [], [], []
+    for i, grown in enumerate(tqdm(embiggened, desc="Building graph", unit="shapes", ascii=True)):
+        graph.add_edge(i, i)
+        if grown.is_empty:
+            continue
+        for j in idx.intersection(grown.bounds):
+            if j == i:
+                continue
+            k = len(cands)
+            cands.append((i, j))
+            a0, ac = grown_sl[i]
+            b0, bc = shape_sl[j]
+            for a in range(a0, a0 + ac):
+                for b in range(b0, b0 + bc):
+                    if bounds_intersect(polys[a].bounds, polys[b].bounds):
+                        pairs.append((a, b))
+                        owner.append(k)
+    hits = native.polys_intersect_batch(polys, pairs)
+    hit_cands = {k for h, k in zip(hits, owner) if h}
+    for k in hit_cands:
+        graph.add_edge(*cands[k])
+
+
+def merge_components(embiggened, components, threshold):
+    """Per component: union of the grown members, negative-buffered back —
+    still in EPSG:3395 meters (robosat/tools/merge.py:58-65). One fused
+    native call finishes ALL components (union overlay -> inward offset-curve
+    erode without the Python round trip in between, threaded across host
+    cores); the per-component loop below is the pure-Python-engine fallback
+    and the test oracle."""
+    native = _native()
+    if native is not None:
+        comp_rings, comp_single = [], []
+        for component in components:
+            members = [embiggened[v] for v in component]
+            nonempty = [g for g in members if g is not None and not g.is_empty]
+            # union_all returns a lone element unchanged (the reference's
+            # functools.reduce semantics) — the native path must know.
+            comp_single.append(len(nonempty) <= 1)
+            comp_rings.append(clip._canonical_union_rings(nonempty))
+        results = native.merge_components(comp_rings, comp_single, threshold)
+        return [
+            clip._assemble_polygons(rings, 0.0, presimplified=True)
+            for rings in tqdm(results, desc="Merging components", unit="component", ascii=True)
+        ]
+    return [
+        buffer_geometry(union([embiggened[v] for v in component]), -threshold)
+        for component in tqdm(components, desc="Merging components", unit="component", ascii=True)
+    ]
+
+
+def _project_multipolygons(geoms, fn):
+    """Apply an elementwise (xs, ys) -> (xs', ys') projection to every ring of
+    every MultiPolygon in ONE vectorized call (identical values to the
+    per-ring transform_geometry — the projections are elementwise ufunc
+    chains — without ~3 numpy dispatches per tiny ring)."""
+    rings, layout = [], []
+    for mp in geoms:
+        per = []
+        for p in mp.geoms:
+            per.append(1 + len(p.holes))
+            rings.append(np.asarray(p.shell, np.float64))
+            rings.extend(np.asarray(h, np.float64) for h in p.holes)
+        layout.append(per)
+    if not rings:
+        return list(geoms)
+    lens = np.fromiter((len(r) for r in rings), np.int64, len(rings))
+    flat = np.concatenate(rings)
+    xs, ys = fn(flat[:, 0], flat[:, 1])
+    out_rings = np.split(np.stack([np.asarray(xs), np.asarray(ys)], axis=1), np.cumsum(lens)[:-1])
+    out, ri = [], 0
+    for per in layout:
+        polys = []
+        for n_rings in per:
+            polys.append(Polygon(out_rings[ri], list(out_rings[ri + 1 : ri + n_rings])))
+            ri += n_rings
+        out.append(MultiPolygon(polys))
+    return out
 
 
 def add_parser(subparser):
@@ -47,37 +193,33 @@ def main(args):
     graph = UndirectedGraph()
     idx = make_index(shapes_el)
 
-    embiggened = []
-    for i, geom in enumerate(tqdm(shapes_el, desc="Building graph", unit="shapes", ascii=True)):
-        grown = buffer_geometry(geom, args.threshold)
-        embiggened.append(grown)
-
-        graph.add_edge(i, i)
-        if grown.is_empty:
-            continue
-        nearest = [j for j in idx.intersection(grown.bounds) if i != j]
-        for t in nearest:
-            if geometries_intersect(grown, shapes_el[t]):
-                graph.add_edge(i, t)
+    embiggened = grow_all(shapes_el, args.threshold)
+    build_graph(shapes_el, embiggened, idx, graph)
 
     components = list(graph.components())
     assert sum(len(v) for v in components) == len(shapes), "components capture all shape indices"
 
-    features = []
-    for component in tqdm(components, desc="Merging components", unit="component", ascii=True):
-        merged = project_el_wgs(buffer_geometry(union([embiggened[v] for v in component]), -args.threshold))
+    eroded = merge_components(embiggened, components, args.threshold)
+    merged_all = _project_multipolygons(eroded, proj.worldmercator_to_wgs)
 
+    features = []
+    oriented_all = []
+    for merged in merged_all:
         if not merged.is_valid or merged.is_empty:
             print("Warning: merged feature is not valid, skipping", file=sys.stderr)
             continue
 
         polys = merged.geoms if isinstance(merged, MultiPolygon) else [merged]
         oriented = [orient_polygon(p, sign=1.0) for p in polys]
-        geometry = oriented[0] if len(oriented) == 1 else MultiPolygon(oriented)
+        oriented_all.append(oriented[0] if len(oriented) == 1 else MultiPolygon(oriented))
 
-        # Equal-area projection; round to full m^2 (robosat/tools/merge.py:79).
-        area = int(round(project_ea(geometry).area))
-
+    # Equal-area areas, rounded to full m^2 (robosat/tools/merge.py:79) —
+    # the Mollweide projection of every ring in one vectorized call.
+    as_mps = [g if isinstance(g, MultiPolygon) else MultiPolygon([g]) for g in oriented_all]
+    for geometry, ea in zip(oriented_all, _project_multipolygons(as_mps, proj.wgs_to_mollweide)):
+        area = int(round(sum(
+            abs(ring_area(p.shell)) - sum(abs(ring_area(h)) for h in p.holes) for p in ea.geoms
+        )))
         features.append(geojson.feature(mapping(geometry), properties={"area": area}))
 
     with open(args.out, "w") as fp:

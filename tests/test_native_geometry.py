@@ -5,7 +5,7 @@ import pytest
 
 from robosat_tpu import native
 from robosat_tpu.geo import clip
-from robosat_tpu.geo.geometry import Polygon
+from robosat_tpu.geo.geometry import MultiPolygon, Polygon
 
 
 @pytest.fixture(scope="module")
@@ -229,3 +229,58 @@ def test_native_convex_erode_vanishing(lib):
     small = Polygon(np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]))
     out = buffer_geometry(small, -5.0)
     assert sum(p.area for p in out.geoms) == 0.0
+
+
+def test_native_merge_components_matches_two_step(lib):
+    """The fused batched union+erode (rs_merge_components) agrees with the
+    two-step path (union_all -> buffer_geometry(-r)) per component, on area
+    and symmetric difference — including single-member components (union
+    skipped, reference semantics), holey unions, vanishing erosions, and an
+    empty component."""
+    from robosat_tpu.geo.buffer import buffer_geometry
+    from robosat_tpu.spatial.core import union
+
+    rng = np.random.default_rng(7)
+
+    def lot(cx, cy, w, h):
+        return buffer_geometry(
+            Polygon(np.array([[cx, cy], [cx + w, cy], [cx + w, cy + h], [cx, cy + h]])), 2.0
+        )
+
+    components = [
+        [lot(0, 0, 8, 6)],                                    # single member
+        [lot(20, 0, 8, 6), lot(26, 2, 8, 6)],                 # overlapping pair
+        [lot(40, 0, 6, 20), lot(40, 0, 20, 6), lot(54, 0, 6, 20), lot(40, 14, 20, 6)],  # ring w/ hole
+        [lot(80, 0, 1.5, 1.5), lot(82, 0, 1.5, 1.5)],         # erosion nearly vanishes
+        [MultiPolygon([])],                                    # empty member
+    ]
+    for _ in range(6):  # random clusters
+        cx, cy = rng.uniform(100, 200, 2)
+        members = [
+            lot(cx + rng.uniform(-6, 6), cy + rng.uniform(-6, 6), rng.uniform(3, 9), rng.uniform(3, 9))
+            for _ in range(rng.integers(1, 5))
+        ]
+        components.append(members)
+
+    from robosat_tpu import native
+
+    comp_rings = []
+    comp_single = []
+    for members in components:
+        nonempty = [g for g in members if not g.is_empty]
+        comp_single.append(len(nonempty) <= 1)
+        comp_rings.append(clip._canonical_union_rings(nonempty))
+    for threads in (1, 4):
+        fused = native.merge_components(comp_rings, comp_single, 2.0, threads=threads)
+        for members, rings in zip(components, fused):
+            got = clip._assemble_polygons(rings, 0.0, presimplified=True)
+            nonempty = [g for g in members if not g.is_empty]
+            want = (
+                buffer_geometry(union(nonempty), -2.0) if nonempty else MultiPolygon([])
+            )
+            a_got = sum(p.area for p in got.geoms)
+            a_want = sum(p.area for p in want.geoms)
+            assert a_got == pytest.approx(a_want, rel=1e-6, abs=1e-9)
+            if a_want > 1e-9:
+                sym = clip.boolean_op(got, want, "xor")
+                assert sum(p.area for p in sym.geoms) <= 1e-6 * a_want
