@@ -57,7 +57,8 @@ def main():
         shapes_el = [project_wgs_el(geom) for geom in shapes]
         t = clock("project_3395", t)
 
-        idx = make_index(shapes_el)
+        if args.two_step:
+            idx = make_index(shapes_el)
         t = clock("rtree_build", t)
 
         graph = UndirectedGraph()
@@ -84,7 +85,7 @@ def main():
             embiggened = grow_all(shapes_el, args.threshold)
             t = clock("grow_buffer", t)
 
-            build_graph(shapes_el, embiggened, idx, graph)
+            build_graph(shapes_el, embiggened, graph)
             components = list(graph.components())
             t = clock("graph_predicates", t)
 
@@ -120,9 +121,12 @@ def main():
             from robosat_tpu.tools.merge import _project_multipolygons
 
             merged_all = _project_multipolygons(eroded, proj.worldmercator_to_wgs)
+            from robosat_tpu import native
+
+            valid = native.polys_valid_batch([list(mp.geoms) for mp in merged_all])
             oriented_all = []
-            for merged in merged_all:
-                if not merged.is_valid or merged.is_empty:
+            for merged, ok in zip(merged_all, valid):
+                if not ok or merged.is_empty:
                     continue
                 polys = merged.geoms if isinstance(merged, MultiPolygon) else [merged]
                 oriented = [orient_polygon(p, sign=1.0) for p in polys]

@@ -160,15 +160,29 @@ def _seg_split_points(a1, a2, b1, b2):
     denom = ax * by - ay * bx
 
     if denom != 0.0:
-        # Non-parallel: solve for parameters.
+        # Non-parallel: parameter-range tests in cross-product form (u, v are
+        # t*denom, s*denom) so the common rejected pair costs no division —
+        # the division runs only for accepted pairs. native/geometry.cpp's
+        # seg_split_points uses the SAME multiply-form comparisons so the
+        # accept/reject boundary stays bit-identical across the engines.
         cx, cy = b1[0] - a1[0], b1[1] - a1[1]
-        t = (cx * by - cy * bx) / denom
-        s = (cx * ay - cy * ax) / denom
-        if -1e-12 <= t <= 1.0 + 1e-12 and -1e-12 <= s <= 1.0 + 1e-12:
-            px = a1[0] + t * ax
-            py = a1[1] + t * ay
-            return [(px, py)], [(px, py)]
-        return [], []
+        u = cx * by - cy * bx
+        if denom > 0.0:
+            if u < -1e-12 * denom or u > (1.0 + 1e-12) * denom:
+                return [], []
+            v = cx * ay - cy * ax
+            if v < -1e-12 * denom or v > (1.0 + 1e-12) * denom:
+                return [], []
+        else:
+            if u > -1e-12 * denom or u < (1.0 + 1e-12) * denom:
+                return [], []
+            v = cx * ay - cy * ax
+            if v > -1e-12 * denom or v < (1.0 + 1e-12) * denom:
+                return [], []
+        t = u / denom
+        px = a1[0] + t * ax
+        py = a1[1] + t * ay
+        return [(px, py)], [(px, py)]
 
     # Parallel: collinear only if b1 lies on line a.
     if (b1[0] - a1[0]) * ay - (b1[1] - a1[1]) * ax != 0.0:

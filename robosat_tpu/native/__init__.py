@@ -88,6 +88,22 @@ def load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int8),
         ]
+        lib.rs_intersect_graph.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.rs_intersect_graph.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rs_polys_valid_batch.restype = None
+        lib.rs_polys_valid_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int8),
+        ]
         lib.rs_merge_components.restype = ctypes.POINTER(ctypes.c_double)
         lib.rs_merge_components.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
@@ -301,6 +317,89 @@ def polys_intersect_batch(geoms, pairs, threads=None):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )
     return out.astype(bool)
+
+
+def _pack_poly_group(geom_polys):
+    """Flatten a list (per geometry) of Polygon lists into the flat packed
+    arrays rs_intersect_graph consumes: (coords, lens, ring_off, coord_off,
+    owner, n_polys). One concatenate over all rings — per-polygon packing
+    objects cost more than the whole native call at city scale."""
+    rings, nrings_per_poly, owner_l = [], [], []
+    for gi, ps in enumerate(geom_polys):
+        for p in ps:
+            rs = p.rings
+            nrings_per_poly.append(len(rs))
+            owner_l.append(gi)
+            rings.extend(rs)
+    n_polys = len(nrings_per_poly)
+    owner = np.asarray(owner_l, np.int32)
+    lens = np.fromiter((len(r) for r in rings), np.int64, len(rings))
+    ring_off = np.zeros(n_polys + 1, np.int64)
+    np.cumsum(nrings_per_poly, out=ring_off[1:])
+    coord_off = np.zeros(n_polys + 1, np.int64)
+    if len(rings):
+        pts_per_poly = np.add.reduceat(lens, ring_off[:-1]) if n_polys else np.zeros(0, np.int64)
+        np.cumsum(pts_per_poly, out=coord_off[1:])
+        coords = np.ascontiguousarray(
+            np.concatenate([np.asarray(r, np.float64).reshape(-1, 2) for r in rings])
+        )
+    else:
+        coords = np.zeros((0, 2))
+    return coords, np.ascontiguousarray(lens, np.int32), ring_off, coord_off, owner, n_polys
+
+
+def intersect_graph(grown_polys, shape_polys):
+    """All (i, j) geometry pairs where a grown-buffer polygon of geometry i
+    intersects a shape polygon of geometry j (i != j): the whole merge graph
+    build (robosat/tools/merge.py:54-56) — grid broad phase + predicates —
+    in one native call. Inputs are lists per geometry of Polygon lists.
+    Returns an (E, 2) int32 array."""
+    lib = load()
+    assert lib is not None
+    gc, gl, gro, gco, gow, ng = _pack_poly_group(grown_polys)
+    sc, sl, sro, sco, sow, ns = _pack_poly_group(shape_polys)
+    n_edges = ctypes.c_int64(0)
+    ptr = lib.rs_intersect_graph(
+        gc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        gl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        gro.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gco.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gow.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ng,
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sro.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sco.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sow.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ns,
+        ctypes.byref(n_edges),
+    )
+    try:
+        n = n_edges.value
+        edges = np.ctypeslib.as_array(ptr, shape=(n * 2,)).copy().reshape(-1, 2) if n else np.zeros((0, 2), np.int32)
+    finally:
+        lib.rs_free(ptr)
+    return edges
+
+
+def polys_valid_batch(geom_polys):
+    """Batched Polygon.is_valid over a list (per geometry) of Polygon lists;
+    returns one bool per GEOMETRY (all its polygons valid — vacuously true
+    when empty, mirroring MultiPolygon.is_valid)."""
+    lib = load()
+    assert lib is not None
+    coords, lens, ring_off, coord_off, owner, n_polys = _pack_poly_group(geom_polys)
+    out = np.ones(n_polys, np.int8)
+    if n_polys:
+        lib.rs_polys_valid_batch(
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ring_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            coord_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_polys,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
+    valid = np.ones(len(geom_polys), bool)
+    np.logical_and.at(valid, owner, out.astype(bool))
+    return valid
 
 
 def ring_is_simple(pts):

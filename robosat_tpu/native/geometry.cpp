@@ -62,14 +62,25 @@ void seg_split_points(const Pt& a1, const Pt& a2, const Pt& b1, const Pt& b2,
     double denom = ax * by - ay * bx;
 
     if (denom != 0.0) {
+        // Parameter-range tests in cross-product form (u = t*denom,
+        // v = s*denom): the common rejected pair pays no division. Mirrors
+        // clip.py _seg_split_points bit for bit (same multiply-form
+        // comparisons decide acceptance).
         double cx = b1.x - a1.x, cy = b1.y - a1.y;
-        double t = (cx * by - cy * bx) / denom;
-        double s = (cx * ay - cy * ax) / denom;
-        if (t >= -1e-12 && t <= 1.0 + 1e-12 && s >= -1e-12 && s <= 1.0 + 1e-12) {
-            Pt p{a1.x + t * ax, a1.y + t * ay};
-            on_a.push_back(p);
-            on_b.push_back(p);
+        double u = cx * by - cy * bx;
+        if (denom > 0.0) {
+            if (u < -1e-12 * denom || u > (1.0 + 1e-12) * denom) return;
+            double v = cx * ay - cy * ax;
+            if (v < -1e-12 * denom || v > (1.0 + 1e-12) * denom) return;
+        } else {
+            if (u > -1e-12 * denom || u < (1.0 + 1e-12) * denom) return;
+            double v = cx * ay - cy * ax;
+            if (v > -1e-12 * denom || v < (1.0 + 1e-12) * denom) return;
         }
+        double t = u / denom;
+        Pt p{a1.x + t * ax, a1.y + t * ay};
+        on_a.push_back(p);
+        on_b.push_back(p);
         return;
     }
     // Parallel: collinear only if b1 lies on a's line.
@@ -178,7 +189,15 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     // per-segment std::set cost one allocation per insertion, which
     // dominated small overlays (the per-feature buffer unions of rs merge).
     size_t n = segs.size();
-    std::vector<std::vector<std::pair<double, Pt>>> splits(n);
+    // Flat split-record list (seg, t, point), sorted once — the former
+    // per-segment vectors cost one heap allocation per split-carrying
+    // segment on every overlay.
+    struct SplitRec {
+        uint32_t seg;
+        double t;
+        Pt p;
+    };
+    std::vector<SplitRec> splits;
     struct Box { double x0, y0, x1, y1; };
     std::vector<Box> boxes(n);
     for (size_t i = 0; i < n; i++) {
@@ -209,21 +228,21 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             for (const Pt& p : on_a) {
                 Pt sp{snap(p.x, q), snap(p.y, q)};
                 double t = param_on(sp, segs[i].p, segs[i].q);
-                if (t > 0.0) splits[i].push_back({t, sp});
+                if (t > 0.0) splits.push_back({(uint32_t)i, t, sp});
             }
             for (const Pt& p : on_b) {
                 Pt sp{snap(p.x, q), snap(p.y, q)};
                 double t = param_on(sp, segs[j].p, segs[j].q);
-                if (t > 0.0) splits[j].push_back({t, sp});
+                if (t > 0.0) splits.push_back({(uint32_t)j, t, sp});
             }
             // Weld endpoints onto segments passing within the snap quantum.
             for (const Pt& v : {segs[j].p, segs[j].q}) {
                 double t = param_near(v, segs[i].p, segs[i].q, q);
-                if (t > 0.0) splits[i].push_back({t, v});
+                if (t > 0.0) splits.push_back({(uint32_t)i, t, v});
             }
             for (const Pt& v : {segs[i].p, segs[i].q}) {
                 double t = param_near(v, segs[j].p, segs[j].q, q);
-                if (t > 0.0) splits[j].push_back({t, v});
+                if (t > 0.0) splits.push_back({(uint32_t)j, t, v});
             }
         }
     }
@@ -241,10 +260,15 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
         }
     };
     std::unordered_map<std::pair<Pt, Pt>, std::pair<int, int>, KeyHash, KeyEq> merged;
+    merged.reserve(n + splits.size());
     bool winding = (op == 4);
     bool erode_in = (op == 7);       // base even-odd AND curve winding > 0
     bool erode_mode = (op == 5) || erode_in;
     bool iou_mode = (op == 6);  // accumulate intersection AND union areas
+    std::sort(splits.begin(), splits.end(), [](const SplitRec& a, const SplitRec& b) {
+        return a.seg < b.seg || (a.seg == b.seg && (a.t < b.t || (a.t == b.t && a.p < b.p)));
+    });
+    size_t sp_ptr = 0;
     for (size_t i = 0; i < n; i++) {
         Pt prev = segs[i].p;
         auto flush = [&](const Pt& a, const Pt& b) {
@@ -265,19 +289,17 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
                 par.second ^= segs[i].pb;
             }
         };
-        auto& sp_list = splits[i];
-        std::sort(sp_list.begin(), sp_list.end(),
-                  [](const std::pair<double, Pt>& a, const std::pair<double, Pt>& b) {
-                      return a.first < b.first || (a.first == b.first && a.second < b.second);
-                  });
-        sp_list.erase(std::unique(sp_list.begin(), sp_list.end(),
-                                  [](const std::pair<double, Pt>& a, const std::pair<double, Pt>& b) {
-                                      return a.first == b.first && a.second == b.second;
-                                  }),
-                      sp_list.end());
-        for (const auto& [t, sp] : sp_list) {
-            flush(prev, sp);
-            prev = sp;
+        double last_t = -1.0;
+        Pt last_p{0.0, 0.0};
+        bool have_last = false;
+        for (; sp_ptr < splits.size() && splits[sp_ptr].seg == i; sp_ptr++) {
+            const SplitRec& r = splits[sp_ptr];
+            if (have_last && r.t == last_t && r.p == last_p) continue;  // dedupe
+            flush(prev, r.p);
+            prev = r.p;
+            last_t = r.t;
+            last_p = r.p;
+            have_last = true;
         }
         flush(prev, segs[i].q);
     }
@@ -361,11 +383,14 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     };
 
     // Sort span INDICES by entry x (spans themselves stay put so the run
-    // slots above stay index-stable).
+    // slots above stay index-stable). (key, idx) pairs sort directly — the
+    // indirect comparator through `spans` cost more cache misses than the
+    // whole pair sort (same finding as the segment-box sort above).
+    std::vector<std::pair<double, uint32_t>> sp_order(spans.size());
+    for (size_t i = 0; i < spans.size(); i++) sp_order[i] = {spans[i].lo.x, (uint32_t)i};
+    std::sort(sp_order.begin(), sp_order.end());
     std::vector<uint32_t> order_sp(spans.size());
-    for (size_t i = 0; i < spans.size(); i++) order_sp[i] = (uint32_t)i;
-    std::sort(order_sp.begin(), order_sp.end(),
-              [&](uint32_t a, uint32_t b) { return spans[a].lo.x < spans[b].lo.x; });
+    for (size_t i = 0; i < spans.size(); i++) order_sp[i] = sp_order[i].second;
     size_t ptr = 0;
     // Incrementally maintained active order: after splitting, no two spans
     // cross strictly inside a slab, so the ym-order is invariant while both
@@ -1368,7 +1393,7 @@ void rs_overlay_iou_areas(const double* coords_a, const int32_t* rings_a, int32_
 // degenerate edges, no collinear overlap between adjacent edges, and no
 // contact between non-adjacent edges (closed segments — touching counts as
 // contact). Port of geo/geometry.py ring_is_simple.
-int32_t rs_ring_is_simple(const double* c, int32_t len) {
+static int32_t ring_is_simple_impl(const double* c, int32_t len) {
     if (len < 3) return 0;
     for (int i = 0; i < len; i++) {
         int j = (i + 1) % len;
@@ -1414,6 +1439,52 @@ int32_t rs_ring_is_simple(const double* c, int32_t len) {
         }
     }
     return 1;
+}
+
+int32_t rs_ring_is_simple(const double* c, int32_t len) { return ring_is_simple_impl(c, len); }
+
+// Batched polygon validity (mirrors geo/geometry.py Polygon.is_valid: shell
+// >= 3 vertices with nonzero area and simple; every hole >= 3 vertices,
+// simple, with all vertices inside the shell — boundary counts). One native
+// call validates every merged feature (the per-ring ctypes crossings were
+// ~0.5 s of a 10k rs merge).
+void rs_polys_valid_batch(const double* coords, const int32_t* lens, const int64_t* ring_off,
+                          const int64_t* coord_off, int32_t n_polys, int8_t* out) {
+    for (int p = 0; p < n_polys; p++) {
+        int64_t r0 = ring_off[p], r1 = ring_off[p + 1];
+        const double* shell = coords + 2 * coord_off[p];
+        int32_t slen = (r1 > r0) ? lens[r0] : 0;
+        out[p] = 0;
+        if (slen < 3) continue;
+        {
+            // Centered shoelace, zero test (mirrors ring_area's centering).
+            double a = 0.0;
+            double ox = shell[0], oy = shell[1];
+            for (int32_t i = 0; i < slen; i++) {
+                int32_t j = (i + 1) % slen;
+                a += (shell[2 * i] - ox) * (shell[2 * j + 1] - oy) -
+                     (shell[2 * j] - ox) * (shell[2 * i + 1] - oy);
+            }
+            if (a == 0.0) continue;
+        }
+        if (!ring_is_simple_impl(shell, slen)) continue;
+        bool ok = true;
+        const double* hc = shell + 2 * slen;
+        for (int64_t r = r0 + 1; r < r1 && ok; r++) {
+            int32_t hlen = lens[r];
+            if (hlen < 3 || !ring_is_simple_impl(hc, hlen)) {
+                ok = false;
+                break;
+            }
+            for (int32_t i = 0; i < hlen; i++)
+                if (!point_in_ring_c(hc[2 * i], hc[2 * i + 1], shell, slen)) {
+                    ok = false;
+                    break;
+                }
+            hc += 2 * hlen;
+        }
+        out[p] = ok ? 1 : 0;
+    }
 }
 
 // 1 if polygon A (shell + holes) and polygon B share any point, else 0.
@@ -1618,6 +1689,124 @@ void rs_polys_intersect_batch(const double* coords, const int32_t* ring_lens,
         work(0, t_use);
         for (auto& th : pool) th.join();
     }
+}
+
+// Full-native merge graph build: which grown buffers intersect which shapes
+// (robosat/tools/merge.py:54-56). Broad phase is a uniform grid over the
+// SHAPE polygons' bboxes probed by each GROWN polygon's bbox — exact
+// relative to the R-tree + per-polygon-pair bbox-cull path (containment
+// implies bbox overlap, so a skipped pair could only have answered false).
+// Narrow phase reuses rs_polys_intersect_impl; a geometry pair is decided at
+// its FIRST intersecting polygon pair. Returns malloc'd int32 (i, j) edge
+// pairs (grown-geometry index, shape-geometry index), i != j.
+int32_t* rs_intersect_graph(const double* gc, const int32_t* gl, const int64_t* g_ring_off,
+                            const int64_t* g_coord_off, const int32_t* g_owner, int32_t n_gpolys,
+                            const double* sc, const int32_t* sl, const int64_t* s_ring_off,
+                            const int64_t* s_coord_off, const int32_t* s_owner, int32_t n_spolys,
+                            int64_t* out_n_edges) {
+    struct Box { double x0, y0, x1, y1; };
+    auto poly_box = [](const double* c, const int32_t* l, int64_t roff, int64_t coff,
+                       int64_t roff_next) {
+        Box b{INFINITY, INFINITY, -INFINITY, -INFINITY};
+        int64_t npts = 0;
+        for (int64_t r = roff; r < roff_next; r++) npts += l[r];
+        const double* p = c + 2 * coff;
+        for (int64_t i = 0; i < npts; i++) {
+            b.x0 = std::min(b.x0, p[2 * i]);
+            b.x1 = std::max(b.x1, p[2 * i]);
+            b.y0 = std::min(b.y0, p[2 * i + 1]);
+            b.y1 = std::max(b.y1, p[2 * i + 1]);
+        }
+        return b;
+    };
+    std::vector<Box> gb(n_gpolys), sb(n_spolys);
+    double cell = 0.0;
+    for (int i = 0; i < n_spolys; i++) {
+        sb[i] = poly_box(sc, sl, s_ring_off[i], s_coord_off[i], s_ring_off[i + 1]);
+        cell += (sb[i].x1 - sb[i].x0) + (sb[i].y1 - sb[i].y0);
+    }
+    for (int i = 0; i < n_gpolys; i++)
+        gb[i] = poly_box(gc, gl, g_ring_off[i], g_coord_off[i], g_ring_off[i + 1]);
+    if (n_spolys == 0 || n_gpolys == 0) {
+        *out_n_edges = 0;
+        return (int32_t*)std::malloc(sizeof(int32_t));
+    }
+    cell = std::max(cell / (2.0 * n_spolys), 1e-9);  // mean box half-perimeter
+
+    // Uniform grid of shape-polygon indices (flat buckets via counting sort).
+    double gx0 = INFINITY, gy0 = INFINITY, gx1 = -INFINITY, gy1 = -INFINITY;
+    for (const Box& b : sb) {
+        gx0 = std::min(gx0, b.x0);
+        gy0 = std::min(gy0, b.y0);
+        gx1 = std::max(gx1, b.x1);
+        gy1 = std::max(gy1, b.y1);
+    }
+    int64_t nx = std::max<int64_t>(1, std::min<int64_t>((int64_t)((gx1 - gx0) / cell) + 1, 4096));
+    int64_t ny = std::max<int64_t>(1, std::min<int64_t>((int64_t)((gy1 - gy0) / cell) + 1, 4096));
+    double inv_cx = nx / std::max(gx1 - gx0, 1e-30);
+    double inv_cy = ny / std::max(gy1 - gy0, 1e-30);
+    auto cell_of = [&](double x, double y, int64_t& cx, int64_t& cy) {
+        cx = std::min<int64_t>(std::max<int64_t>((int64_t)((x - gx0) * inv_cx), 0), nx - 1);
+        cy = std::min<int64_t>(std::max<int64_t>((int64_t)((y - gy0) * inv_cy), 0), ny - 1);
+    };
+    std::vector<int64_t> counts(nx * ny + 1, 0);
+    auto for_cells = [&](const Box& b, auto&& fn) {
+        int64_t cx0, cy0, cx1, cy1;
+        cell_of(b.x0, b.y0, cx0, cy0);
+        cell_of(b.x1, b.y1, cx1, cy1);
+        for (int64_t cy = cy0; cy <= cy1; cy++)
+            for (int64_t cx = cx0; cx <= cx1; cx++) fn(cy * nx + cx);
+    };
+    for (int i = 0; i < n_spolys; i++) for_cells(sb[i], [&](int64_t c) { counts[c + 1]++; });
+    for (size_t c = 1; c < counts.size(); c++) counts[c] += counts[c - 1];
+    std::vector<int32_t> bucket(counts.back());
+    {
+        std::vector<int64_t> fill(counts.begin(), counts.end() - 1);
+        for (int i = 0; i < n_spolys; i++)
+            for_cells(sb[i], [&](int64_t c) { bucket[fill[c]++] = i; });
+    }
+
+    // Probe: per grown polygon, candidate shape polygons from its cells.
+    std::unordered_map<uint64_t, char> decided;  // (i<<32|j) -> 0 probing, 1 edge
+    std::vector<int32_t> edges;
+    std::vector<char> seen(n_spolys, 0);
+    std::vector<int32_t> seen_list;
+    for (int gp = 0; gp < n_gpolys; gp++) {
+        const Box& b = gb[gp];
+        int32_t i = g_owner[gp];
+        seen_list.clear();
+        for_cells(b, [&](int64_t c) {
+            for (int64_t k = counts[c]; k < counts[c + 1]; k++) {
+                int32_t sp = bucket[k];
+                if (seen[sp]) continue;
+                seen[sp] = 1;
+                seen_list.push_back(sp);
+                const Box& o = sb[sp];
+                if (o.x0 > b.x1 || o.x1 < b.x0 || o.y0 > b.y1 || o.y1 < b.y0) continue;
+                int32_t j = s_owner[sp];
+                if (i == j) continue;
+                uint64_t key = ((uint64_t)(uint32_t)i << 32) | (uint32_t)j;
+                auto it = decided.find(key);
+                if (it != decided.end() && it->second) continue;
+                if (rs_polys_intersect_impl(
+                        gc + 2 * g_coord_off[gp], gl + g_ring_off[gp],
+                        (int32_t)(g_ring_off[gp + 1] - g_ring_off[gp]),
+                        sc + 2 * s_coord_off[sp], sl + s_ring_off[sp],
+                        (int32_t)(s_ring_off[sp + 1] - s_ring_off[sp]))) {
+                    decided[key] = 1;
+                    edges.push_back(i);
+                    edges.push_back(j);
+                } else if (it == decided.end()) {
+                    decided[key] = 0;
+                }
+            }
+        });
+        for (int32_t sp : seen_list) seen[sp] = 0;
+    }
+    *out_n_edges = (int64_t)(edges.size() / 2);
+    int32_t* out = (int32_t*)std::malloc(std::max(edges.size(), (size_t)1) * sizeof(int32_t));
+    if (out) std::copy(edges.begin(), edges.end(), out);
+    return out;
 }
 
 // Fused, batched merge-component finisher: for every component, the N-ary

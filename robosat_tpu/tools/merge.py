@@ -23,7 +23,6 @@ from robosat_tpu.geo.buffer import buffer_geometry
 from robosat_tpu.geo.geometry import (
     MultiPolygon,
     Polygon,
-    bounds_intersect,
     geometries_intersect,
     mapping,
     orient_polygon,
@@ -58,12 +57,14 @@ def grow_all(shapes_el, threshold):
     return [clip._assemble_polygons(rings, 0.0, presimplified=True) for rings in results]
 
 
-def build_graph(shapes_el, embiggened, idx, graph):
+def build_graph(shapes_el, embiggened, graph):
     """Connect every shape to the shapes its grown buffer intersects
-    (robosat/tools/merge.py:54-56). Candidate pairs come from the R-tree;
-    the segment/containment predicates run in one batched native call."""
+    (robosat/tools/merge.py:54-56). The native path runs its own grid broad
+    phase + predicates in ONE call; the fallback queries an R-tree per
+    feature like the reference."""
     native = _native()
     if native is None:
+        idx = make_index(shapes_el)
         for i, grown in enumerate(tqdm(embiggened, desc="Building graph", unit="shapes", ascii=True)):
             graph.add_edge(i, i)
             if grown.is_empty:
@@ -73,39 +74,12 @@ def build_graph(shapes_el, embiggened, idx, graph):
                     graph.add_edge(i, t)
         return
 
-    polys = []
-
-    def slices(geoms):
-        out = []
-        for g in geoms:
-            ps = list(g.geoms) if isinstance(g, MultiPolygon) else [g]
-            out.append((len(polys), len(ps)))
-            polys.extend(ps)
-        return out
-
-    grown_sl = slices(embiggened)
-    shape_sl = slices(shapes_el)
-    cands, pairs, owner = [], [], []
-    for i, grown in enumerate(tqdm(embiggened, desc="Building graph", unit="shapes", ascii=True)):
+    for i in range(len(embiggened)):
         graph.add_edge(i, i)
-        if grown.is_empty:
-            continue
-        for j in idx.intersection(grown.bounds):
-            if j == i:
-                continue
-            k = len(cands)
-            cands.append((i, j))
-            a0, ac = grown_sl[i]
-            b0, bc = shape_sl[j]
-            for a in range(a0, a0 + ac):
-                for b in range(b0, b0 + bc):
-                    if bounds_intersect(polys[a].bounds, polys[b].bounds):
-                        pairs.append((a, b))
-                        owner.append(k)
-    hits = native.polys_intersect_batch(polys, pairs)
-    hit_cands = {k for h, k in zip(hits, owner) if h}
-    for k in hit_cands:
-        graph.add_edge(*cands[k])
+    grown_polys = [list(g.geoms) if isinstance(g, MultiPolygon) else [g] for g in embiggened]
+    shape_polys = [list(g.geoms) if isinstance(g, MultiPolygon) else [g] for g in shapes_el]
+    for i, j in native.intersect_graph(grown_polys, shape_polys):
+        graph.add_edge(int(i), int(j))
 
 
 def merge_components(embiggened, components, threshold):
@@ -191,10 +165,9 @@ def main(args):
     shapes_el = [project_wgs_el(geom) for geom in shapes]
 
     graph = UndirectedGraph()
-    idx = make_index(shapes_el)
 
     embiggened = grow_all(shapes_el, args.threshold)
-    build_graph(shapes_el, embiggened, idx, graph)
+    build_graph(shapes_el, embiggened, graph)
 
     components = list(graph.components())
     assert sum(len(v) for v in components) == len(shapes), "components capture all shape indices"
@@ -202,10 +175,16 @@ def main(args):
     eroded = merge_components(embiggened, components, args.threshold)
     merged_all = _project_multipolygons(eroded, proj.worldmercator_to_wgs)
 
+    native = _native()
+    if native is not None:
+        valid = native.polys_valid_batch([list(mp.geoms) for mp in merged_all])
+    else:
+        valid = [mp.is_valid for mp in merged_all]
+
     features = []
     oriented_all = []
-    for merged in merged_all:
-        if not merged.is_valid or merged.is_empty:
+    for merged, ok in zip(merged_all, valid):
+        if not ok or merged.is_empty:
             print("Warning: merged feature is not valid, skipping", file=sys.stderr)
             continue
 
