@@ -481,6 +481,36 @@ def transform_geometry(fn, geom):
     raise ValueError("unsupported geometry: {}".format(type(geom)))
 
 
+def transform_multipolygons(geoms, fn):
+    """Apply an elementwise (xs, ys) -> (xs', ys') transform to every ring of
+    every MultiPolygon in ONE vectorized call — identical values to per-ring
+    `transform_geometry` (the projections are elementwise ufunc chains)
+    without ~3 numpy dispatches per tiny ring. Used by the merge/dedupe
+    finishing passes over city-scale feature collections."""
+    rings, layout = [], []
+    for mp in geoms:
+        per = []
+        for p in mp.geoms:
+            per.append(1 + len(p.holes))
+            rings.append(np.asarray(p.shell, np.float64))
+            rings.extend(np.asarray(h, np.float64) for h in p.holes)
+        layout.append(per)
+    if not rings:
+        return list(geoms)
+    lens = np.fromiter((len(r) for r in rings), np.int64, len(rings))
+    flat = np.concatenate(rings)
+    xs, ys = fn(flat[:, 0], flat[:, 1])
+    out_rings = np.split(np.stack([np.asarray(xs), np.asarray(ys)], axis=1), np.cumsum(lens)[:-1])
+    out, ri = [], 0
+    for per in layout:
+        polys = []
+        for n_rings in per:
+            polys.append(Polygon(out_rings[ri], list(out_rings[ri + 1 : ri + n_rings])))
+            ri += n_rings
+        out.append(MultiPolygon(polys))
+    return out
+
+
 def orient_polygon(poly, sign=1.0):
     """Return the polygon with exterior ring oriented CCW (sign=1) or CW
     (sign=-1) and holes oriented opposite. Parity:

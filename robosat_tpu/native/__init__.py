@@ -96,7 +96,16 @@ def load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rs_iou_winding_batch.restype = None
+        lib.rs_iou_winding_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
         ]
         lib.rs_polys_valid_batch.restype = None
         lib.rs_polys_valid_batch.argtypes = [
@@ -348,12 +357,13 @@ def _pack_poly_group(geom_polys):
     return coords, np.ascontiguousarray(lens, np.int32), ring_off, coord_off, owner, n_polys
 
 
-def intersect_graph(grown_polys, shape_polys):
-    """All (i, j) geometry pairs where a grown-buffer polygon of geometry i
-    intersects a shape polygon of geometry j (i != j): the whole merge graph
-    build (robosat/tools/merge.py:54-56) — grid broad phase + predicates —
-    in one native call. Inputs are lists per geometry of Polygon lists.
-    Returns an (E, 2) int32 array."""
+def intersect_graph(grown_polys, shape_polys, exclude_same=True):
+    """All (i, j) geometry pairs where a polygon of group-a geometry i
+    intersects a polygon of group-b geometry j: the whole merge/dedupe graph
+    build (robosat/tools/merge.py:54-56, dedupe.py:45) — grid broad phase +
+    predicates — in one native call. Inputs are lists per geometry of
+    Polygon lists. `exclude_same` skips i == j pairs (the merge SELF-join;
+    dedupe's two distinct collections pass False). Returns (E, 2) int32."""
     lib = load()
     assert lib is not None
     gc, gl, gro, gco, gow, ng = _pack_poly_group(grown_polys)
@@ -370,6 +380,7 @@ def intersect_graph(grown_polys, shape_polys):
         sro.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         sco.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         sow.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ns,
+        1 if exclude_same else 0,
         ctypes.byref(n_edges),
     )
     try:
@@ -378,6 +389,31 @@ def intersect_graph(grown_polys, shape_polys):
     finally:
         lib.rs_free(ptr)
     return edges
+
+
+def iou_winding_batch(a_groups, b_groups, threads=None):
+    """Per group g: (intersection_area, union_area) of the even-odd region of
+    rings `a_groups[g]` vs the winding union of canonically-oriented rings
+    `b_groups[g]`, one overlay each, one native call for all groups.
+    Returns an (N, 2) float array."""
+    lib = load()
+    assert lib is not None
+    n_groups = len(a_groups)
+    ac, al, _, keep_a = _pack([r for rings in a_groups for r in rings])  # noqa: F841
+    bc, bl, _, keep_b = _pack([r for rings in b_groups for r in rings])  # noqa: F841
+    a_n = np.asarray([len(r) for r in a_groups], np.int32)
+    b_n = np.asarray([len(r) for r in b_groups], np.int32)
+    out = np.zeros((n_groups, 2), np.float64)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    if n_groups:
+        lib.rs_iou_winding_batch(
+            ac, al, a_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bc, bl, b_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_groups, int(threads),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+    return out
 
 
 def polys_valid_batch(geom_polys):

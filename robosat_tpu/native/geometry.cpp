@@ -263,7 +263,8 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
     merged.reserve(n + splits.size());
     bool winding = (op == 4);
     bool erode_in = (op == 7);       // base even-odd AND curve winding > 0
-    bool erode_mode = (op == 5) || erode_in;
+    bool iou_wind = (op == 8);       // iou of even-odd a vs winding union of b
+    bool erode_mode = (op == 5) || erode_in || iou_wind;  // same parity builder
     bool iou_mode = (op == 6);  // accumulate intersection AND union areas
     std::sort(splits.begin(), splits.end(), [](const SplitRec& a, const SplitRec& b) {
         return a.seg < b.seg || (a.seg == b.seg && (a.t < b.t || (a.t == b.t && a.p < b.p)));
@@ -465,6 +466,21 @@ Overlay run_overlay(const double* coords_a, const int32_t* rings_a, int n_rings_
             if (winding) {
                 wind += cur.pa;
                 covered = wind > 0;
+            } else if (iou_wind) {
+                // Intersection AND union areas of (even-odd a) vs (winding
+                // union of b's rings) in one sweep — the rs dedupe hot path
+                // without materializing union(overlapping OSM shapes)
+                // (robosat/tools/dedupe.py:49's iou-vs-union).
+                if (cur.pa) in_a = !in_a;
+                wind += cur.pb;
+                bool b_in = wind > 0;
+                if (in_a || b_in) {
+                    const Active& nx = active[idx + 1];
+                    double trap = (x1 - x0) * (nx.ym - cur.ym);
+                    result.area2 += trap;
+                    if (in_a && b_in) result.area += trap;
+                }
+                continue;
             } else if (erode_mode) {
                 if (cur.pa) in_a = !in_a;
                 wind += cur.pb;
@@ -1691,6 +1707,45 @@ void rs_polys_intersect_batch(const double* coords, const int32_t* ring_lens,
     }
 }
 
+// Batched winding-IoU: per group, the intersection and union areas of
+// (even-odd rings a) vs (the winding union of canonically-oriented rings b)
+// from ONE overlay each — the rs dedupe scoring loop without materializing
+// union(overlapping) per prediction (robosat/tools/dedupe.py:45-49), one
+// ctypes crossing for the whole collection, threaded like the other batches.
+void rs_iou_winding_batch(const double* ac, const int32_t* al, const int32_t* a_nrings,
+                          const double* bc, const int32_t* bl, const int32_t* b_nrings,
+                          int32_t n_groups, int32_t n_threads, double* out2) {
+    std::vector<int64_t> a_roff(n_groups + 1, 0), a_coff(n_groups + 1, 0);
+    std::vector<int64_t> b_roff(n_groups + 1, 0), b_coff(n_groups + 1, 0);
+    for (int g = 0; g < n_groups; g++) {
+        a_roff[g + 1] = a_roff[g] + a_nrings[g];
+        b_roff[g + 1] = b_roff[g] + b_nrings[g];
+        int64_t ca = 0, cb = 0;
+        for (int64_t r = a_roff[g]; r < a_roff[g + 1]; r++) ca += al[r];
+        for (int64_t r = b_roff[g]; r < b_roff[g + 1]; r++) cb += bl[r];
+        a_coff[g + 1] = a_coff[g] + ca;
+        b_coff[g + 1] = b_coff[g] + cb;
+    }
+    auto work = [&](int t, int stride) {
+        for (int g = t; g < n_groups; g += stride) {
+            Overlay r = run_overlay(ac + 2 * a_coff[g], al + a_roff[g], a_nrings[g],
+                                    bc + 2 * b_coff[g], bl + b_roff[g], b_nrings[g], 8, false);
+            out2[2 * g] = r.area;
+            out2[2 * g + 1] = r.area2;
+        }
+    };
+    if (n_threads <= 1 || n_groups <= 1) {
+        work(0, 1);
+    } else {
+        int t_use = std::min(n_threads, n_groups);
+        std::vector<std::thread> pool;
+        pool.reserve(t_use - 1);
+        for (int t = 1; t < t_use; t++) pool.emplace_back(work, t, t_use);
+        work(0, t_use);
+        for (auto& th : pool) th.join();
+    }
+}
+
 // Full-native merge graph build: which grown buffers intersect which shapes
 // (robosat/tools/merge.py:54-56). Broad phase is a uniform grid over the
 // SHAPE polygons' bboxes probed by each GROWN polygon's bbox — exact
@@ -1699,11 +1754,14 @@ void rs_polys_intersect_batch(const double* coords, const int32_t* ring_lens,
 // Narrow phase reuses rs_polys_intersect_impl; a geometry pair is decided at
 // its FIRST intersecting polygon pair. Returns malloc'd int32 (i, j) edge
 // pairs (grown-geometry index, shape-geometry index), i != j.
+// exclude_same: skip owner pairs with equal indices — the merge self-join
+// must not test a geometry against itself, while dedupe's two DISTINCT
+// collections must test equal indices like any other pair.
 int32_t* rs_intersect_graph(const double* gc, const int32_t* gl, const int64_t* g_ring_off,
                             const int64_t* g_coord_off, const int32_t* g_owner, int32_t n_gpolys,
                             const double* sc, const int32_t* sl, const int64_t* s_ring_off,
                             const int64_t* s_coord_off, const int32_t* s_owner, int32_t n_spolys,
-                            int64_t* out_n_edges) {
+                            int32_t exclude_same, int64_t* out_n_edges) {
     struct Box { double x0, y0, x1, y1; };
     auto poly_box = [](const double* c, const int32_t* l, int64_t roff, int64_t coff,
                        int64_t roff_next) {
@@ -1784,7 +1842,7 @@ int32_t* rs_intersect_graph(const double* gc, const int32_t* gl, const int64_t* 
                 const Box& o = sb[sp];
                 if (o.x0 > b.x1 || o.x1 < b.x0 || o.y0 > b.y1 || o.y1 < b.y0) continue;
                 int32_t j = s_owner[sp];
-                if (i == j) continue;
+                if (exclude_same && i == j) continue;
                 uint64_t key = ((uint64_t)(uint32_t)i << 32) | (uint32_t)j;
                 auto it = decided.find(key);
                 if (it != decided.end() && it->second) continue;

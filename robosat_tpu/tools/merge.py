@@ -15,7 +15,6 @@ kept as the pure-Python-engine fallback and test oracle.
 import argparse
 import sys
 
-import numpy as np
 from tqdm import tqdm
 
 from robosat_tpu.geo import clip, geojson, proj
@@ -28,6 +27,7 @@ from robosat_tpu.geo.geometry import (
     orient_polygon,
     ring_area,
     shape,
+    transform_multipolygons,
 )
 from robosat_tpu.graph import UndirectedGraph
 from robosat_tpu.spatial.core import make_index, project_wgs_el, union
@@ -110,33 +110,8 @@ def merge_components(embiggened, components, threshold):
     ]
 
 
-def _project_multipolygons(geoms, fn):
-    """Apply an elementwise (xs, ys) -> (xs', ys') projection to every ring of
-    every MultiPolygon in ONE vectorized call (identical values to the
-    per-ring transform_geometry — the projections are elementwise ufunc
-    chains — without ~3 numpy dispatches per tiny ring)."""
-    rings, layout = [], []
-    for mp in geoms:
-        per = []
-        for p in mp.geoms:
-            per.append(1 + len(p.holes))
-            rings.append(np.asarray(p.shell, np.float64))
-            rings.extend(np.asarray(h, np.float64) for h in p.holes)
-        layout.append(per)
-    if not rings:
-        return list(geoms)
-    lens = np.fromiter((len(r) for r in rings), np.int64, len(rings))
-    flat = np.concatenate(rings)
-    xs, ys = fn(flat[:, 0], flat[:, 1])
-    out_rings = np.split(np.stack([np.asarray(xs), np.asarray(ys)], axis=1), np.cumsum(lens)[:-1])
-    out, ri = [], 0
-    for per in layout:
-        polys = []
-        for n_rings in per:
-            polys.append(Polygon(out_rings[ri], list(out_rings[ri + 1 : ri + n_rings])))
-            ri += n_rings
-        out.append(MultiPolygon(polys))
-    return out
+# Batched per-ring projection (shared with rs dedupe's finishing pass).
+_project_multipolygons = transform_multipolygons
 
 
 def add_parser(subparser):

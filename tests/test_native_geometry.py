@@ -284,3 +284,50 @@ def test_native_merge_components_matches_two_step(lib):
             if a_want > 1e-9:
                 sym = clip.boolean_op(got, want, "xor")
                 assert sum(p.area for p in sym.geoms) <= 1e-6 * a_want
+
+
+def test_native_iou_winding_batch_matches_union_iou(lib):
+    """One-overlay winding IoU (prediction vs winding union of overlapping
+    shapes) agrees with iou(pred, union(shapes)) — the rs dedupe scoring —
+    including overlapping members, containment, and disjoint (zero) cases."""
+    from robosat_tpu.geo.buffer import buffer_geometry
+    from robosat_tpu.spatial.core import union
+
+    def box(x, y, w, h):
+        return Polygon(np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], float))
+
+    cases = [
+        (box(0, 0, 10, 10), [box(5, 5, 10, 10)]),                       # partial overlap
+        (box(0, 0, 10, 10), [box(2, 2, 2, 2)]),                         # containment
+        (box(0, 0, 10, 10), [box(8, 0, 10, 10), box(0, 8, 10, 10)]),    # overlapping members
+        (box(0, 0, 4, 4), [box(100, 100, 4, 4)]),                       # disjoint
+        (buffer_geometry(box(0, 0, 6, 6), 1.0).geoms[0], [box(3, 3, 9, 9), box(-2, -2, 4, 4)]),
+    ]
+    from robosat_tpu import native
+
+    a_groups = [clip._collect_rings(a) for a, _ in cases]
+    b_groups = [clip._canonical_union_rings(bs) for _, bs in cases]
+    out = native.iou_winding_batch(a_groups, b_groups)
+    for (a, bs), (inter, uni) in zip(cases, out):
+        rv = inter / uni if uni > 0 else 0.0
+        u = union(bs)
+        want_inter = clip.overlay_area(a, u, "intersection")
+        want_union = clip.overlay_area(a, u, "union")
+        want = want_inter / want_union if want_union > 0 else 0.0
+        assert rv == pytest.approx(want, rel=1e-6, abs=1e-9)
+
+
+def test_native_intersect_graph_exclude_same(lib):
+    """exclude_same=True drops i==j owner pairs (the merge self-join);
+    False keeps them (dedupe's two distinct collections)."""
+    from robosat_tpu import native
+
+    def box(x, y, w, h):
+        return Polygon(np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], float))
+
+    a = [[box(0, 0, 4, 4)], [box(10, 0, 4, 4)]]
+    b = [[box(1, 1, 4, 4)], [box(100, 100, 1, 1)]]
+    with_same = {tuple(e) for e in native.intersect_graph(a, b, exclude_same=False).tolist()}
+    assert with_same == {(0, 0)}
+    without = {tuple(e) for e in native.intersect_graph(a, b, exclude_same=True).tolist()}
+    assert without == set()  # the only intersecting pair has i == j
