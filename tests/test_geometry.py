@@ -197,3 +197,17 @@ def test_shape_mapping_roundtrip():
     m = g.__geo_interface__()
     assert m["type"] == "Polygon"
     assert m["coordinates"][0][0] == m["coordinates"][0][-1]
+
+
+def test_ring_area_immune_to_projected_crs_offsets():
+    """Shoelace must be centered: at EPSG:3395/Mollweide magnitudes (~1.4e7 m)
+    the raw products carry ~0.008 m^2 of rounding each, and a ~160-vertex
+    city-block ring drifted ~1 m^2 against the overlay engine's slab areas
+    (found in round 5 chasing a merge-path area mismatch)."""
+    rng = np.random.default_rng(11)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 160))
+    radii = rng.uniform(20.0, 45.0, 160)
+    local = np.stack([radii * np.cos(angles), radii * np.sin(angles)], axis=1)
+    base = ring_area(local)
+    shifted = ring_area(local + np.array([-1.362e7, 4.52e6]))
+    assert shifted == pytest.approx(base, rel=1e-9)
