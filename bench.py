@@ -277,13 +277,19 @@ def main():
         for batch in (8, 16, 32)
     ]
     if os.environ.get("BENCH_PALLAS"):
-        cells += [
+        pallas_cells = [
             ("int8_pe", "blocked", headline_batch),
             ("int8_pea", "blocked", headline_batch),
             ("int8_pt", "blocked", headline_batch),
             ("int8_sep", "blocked", headline_batch),
             ("int8_ptf", "blocked", headline_batch),
         ]
+        # BENCH_PALLAS=1 runs every variant; a comma list (e.g.
+        # BENCH_PALLAS=int8_ptf) selects specific ones.
+        wanted = os.environ["BENCH_PALLAS"]
+        if wanted != "1":
+            pallas_cells = [c for c in pallas_cells if c[0] in wanted.split(",")]
+        cells += pallas_cells
     for dtype, layout, batch in cells:
         key = "{}/{}/b{}".format(dtype, layout, batch)
         is_headline = dtype == "int8" and layout == "blocked" and batch == headline_batch

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 rung = sys.argv[1]
 S, W, C = 8, 288, 128  # dec5 activation strip shapes at 576px predict
 
-def kernel(x_ref, wm_ref, bm_ref, o_ref):
+def kernel(x_ref, wm_ref, bm_ref, sel_ref, o_ref):
     y5 = x_ref[0]
     if rung == "base":
         o_ref[0] = y5
@@ -52,33 +52,58 @@ def kernel(x_ref, wm_ref, bm_ref, o_ref):
     if rung == "mul":
         o_ref[0] = feats.astype(o_ref.dtype)
         return
-    margin = feats.reshape(S, W, 4, 32).sum(axis=-1) + bm_ref[0]
-    if rung == "reduce":
+    if rung.endswith("_mm"):
+        # Workaround for the reshape crash below: the 4 parity margins as a
+        # masked matmul over lanes (feats @ sel, sel (128, 4) one-hot blocks)
+        # — no lane-dim reshape, MXU does the reduction. Output padded to
+        # 128 lanes (a 4-lane minormost output is its own Mosaic killer).
+        margin = jax.lax.dot_general(
+            feats.reshape(S * W, C), sel_ref[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(S, W, 4) + bm_ref[0]
+    else:
+        margin = feats.reshape(S, W, 4, 32).sum(axis=-1) + bm_ref[0]
+    if rung in ("reduce", "reduce_mm"):
         o_ref[0] = jnp.pad(margin, ((0, 0), (0, 0), (0, 124))).astype(o_ref.dtype)
         return
     p = jax.nn.sigmoid(margin)
-    if rung == "sigmoid":
+    if rung in ("sigmoid", "sigmoid_mm"):
         o_ref[0] = jnp.pad(p, ((0, 0), (0, 0), (0, 124))).astype(o_ref.dtype)
         return
     from robosat_tpu.ops.head import _digitize_exact
     q = _digitize_exact(p).astype(jnp.uint8)
-    if rung == "digitize":
+    if rung in ("digitize", "digitize_mm"):
         o_ref[0] = jnp.pad(q, ((0, 0), (0, 0), (0, 124)))
         return
-    o_ref[0] = q.reshape(S, 4 * W)  # rung == "merge"
+    if rung == "digitize_mm_pad8":
+        o_ref[0] = jnp.pad(q, ((0, 0), (0, 0), (0, 4)))
+        return
+    if rung == "digitize_mm_pad4":
+        o_ref[0] = q
+        return
+    o_ref[0] = q.reshape(S, 4 * W)  # rung == "merge"/"merge_mm"
 
-if rung in ("base", "mul"):
+base_rung = rung[:-3] if rung.endswith("_mm") else rung
+if base_rung in ("base", "mul"):
     out = jax.ShapeDtypeStruct((1, S, W, C), jnp.bfloat16)
-elif rung in ("reduce", "sigmoid"):
+elif base_rung in ("reduce", "sigmoid"):
     out = jax.ShapeDtypeStruct((1, S, W, 128), jnp.float32)
-elif rung == "digitize":
+elif base_rung == "digitize":
     out = jax.ShapeDtypeStruct((1, S, W, 128), jnp.uint8)
+elif rung == "digitize_mm_pad8":
+    out = jax.ShapeDtypeStruct((1, S, W, 8), jnp.uint8)
+elif rung == "digitize_mm_pad4":
+    out = jax.ShapeDtypeStruct((1, S, W, 4), jnp.uint8)
 else:
     out = jax.ShapeDtypeStruct((1, S, 4 * W), jnp.uint8)
 
 x = jnp.asarray(np.random.default_rng(0).standard_normal((1, S, W, C)), jnp.bfloat16)
 wm = jnp.ones((1, C), jnp.float32)
 bm = jnp.zeros((1, 4), jnp.float32)
+sel_np = np.zeros((C, 4), np.float32)
+for k in range(4):
+    sel_np[32 * k : 32 * (k + 1), k] = 1.0
+sel = jnp.asarray(sel_np)
 
 fn = pl.pallas_call(
     kernel,
@@ -87,15 +112,18 @@ fn = pl.pallas_call(
         pl.BlockSpec(x.shape, lambda: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(wm.shape, lambda: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(bm.shape, lambda: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(sel.shape, lambda: (0, 0), memory_space=pltpu.VMEM),
     ],
     out_specs=pl.BlockSpec(out.shape, lambda: tuple(0 for _ in out.shape), memory_space=pltpu.VMEM),
 )
-r = jax.jit(fn)(x, wm, bm)
+r = jax.jit(fn)(x, wm, bm, sel)
 r.block_until_ready()
 print("RUNG_OK", np.asarray(r).sum())
 """
 
-ALL_RUNGS = ["base", "mul", "reduce", "sigmoid", "digitize", "merge"]
+ALL_RUNGS = ["base", "mul", "reduce", "sigmoid", "digitize", "merge",
+             "reduce_mm", "sigmoid_mm", "digitize_mm", "merge_mm",
+             "digitize_mm_pad8", "digitize_mm_pad4"]
 
 
 def main():

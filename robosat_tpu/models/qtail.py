@@ -77,7 +77,7 @@ def _conv3x3_strip(q_ext, w_taps, ws_scaled, rows_out, compute_dtype):
 
 
 def _tail_kernel(
-    x_ref, top_ref, bot_ref, w4_ref, s4_ref, w5_ref, s5_ref, wm_ref, bm_ref, o_ref,
+    x_ref, top_ref, bot_ref, w4_ref, s4_ref, w5_ref, s5_ref, wb_ref, bm_ref, o_ref,
     *, s4_in, s5_in, s_strips, compute_dtype,
 ):
     s = pl.program_id(1)
@@ -114,18 +114,26 @@ def _tail_kernel(
 
     y5 = _conv3x3_strip(q5, w5_ref, s5_ref[:], S, compute_dtype)  # (S, W, C) f32, bf16-rounded
 
-    # Margin head: per-parity 32-channel f32 reduce + sigmoid + digitize
-    # (ops.head.fused_prediction_head_s2d_blocked without the crop — the
-    # caller slices the uint8).
+    # Margin head: the SAME block-diagonal margin matmul the XLA blocked
+    # head runs (ops.head.fused_prediction_head_s2d_blocked's
+    # kron(eye(4), wm) einsum) — the original reshape-reduce formulation
+    # ((S, W, 4, 32).sum(-1)) crashes the Mosaic compiler (tpu.reshape
+    # cannot split the 128-lane dim; bisected in
+    # benchmarks/bisect_mosaic_head.py), so the MXU does the reduction.
     W = y5.shape[1]
-    feats = y5.astype(jnp.float32) * wm_ref[:]  # (S, W, 128), wm tiled x4
-    margin = feats.reshape(S, W, 4, 32).sum(axis=-1) + bm_ref[0]
+    margin = jax.lax.dot_general(
+        y5.astype(jnp.float32).reshape(S * W, 128), wb_ref[:],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).reshape(S, W, 4) + bm_ref[0]
     # No clip: the int32 -> uint8 cast carries the reference's p == 1.0
-    # wraparound quirk (digitize index 256 -> palette 0). The output block is
-    # (S, 4W) — a 4-lane minormost uint8 block crashes the Mosaic compiler,
-    # and (W, 4) -> 4W is a contiguous row-major merge.
+    # wraparound quirk (digitize index 256 -> palette 0). The output block
+    # pads the 4 parity lanes to 128 — every narrower uint8 minormost block
+    # (4, 8) and the (W, 4) -> 4W row-major merge crash Mosaic (bisect
+    # rungs digitize_mm_pad4/pad8/merge_mm); the caller slices [..., :4].
     q = _digitize_exact(jax.nn.sigmoid(margin)).astype(jnp.uint8)
-    o_ref[0] = q.reshape(S, 4 * W)
+    o_ref[0] = jnp.pad(q, ((0, 0), (0, 0), (0, 124)))
 
 
 def _tail_features_kernel(
@@ -397,7 +405,10 @@ def fused_tail(
 
     w2 = jnp.asarray(w_final).reshape(32, 2)
     b2 = jnp.asarray(b_final).reshape(2)
-    wm = jnp.tile((w2[:, 1] - w2[:, 0]).astype(jnp.float32), 4).reshape(1, 128)
+    # Block-diagonal margin matrix — identical to the XLA blocked head's
+    # kron(eye(4), wm) operand (ops/head.py:142).
+    wm = (w2[:, 1] - w2[:, 0]).astype(jnp.float32)
+    wblock = jnp.kron(jnp.eye(4, dtype=jnp.float32), wm.reshape(32, 1))  # (128, 4)
     bm = (b2[1] - b2[0]).astype(jnp.float32).reshape(1)
 
     kernel = functools.partial(
@@ -414,7 +425,7 @@ def fused_tail(
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h, 4 * w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, 128), jnp.uint8),
         grid_spec=pl.GridSpec(
             grid=(n, strips),
             in_specs=[
@@ -425,20 +436,20 @@ def fused_tail(
                 pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((9, c, 128), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 4), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, S, 4 * w), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, S, w, 128), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n * h * w * 9 * 128 * 128,
-            bytes_accessed=x.size * x.dtype.itemsize + n * h * w * 4,
+            bytes_accessed=x.size * x.dtype.itemsize + n * h * w * 128,
             transcendentals=n * h * w * 4,
         ),
         interpret=_auto_interpret(interpret),
-    )(x, x, x, w4, ws4, w5, ws5, wm, bm)
+    )(x, x, x, w4, ws4, w5, ws5, wblock, bm)
 
-    out = out.reshape(n, h, w, 4)
+    out = out[..., :4]  # drop the Mosaic lane padding
     o = overlap // 2
     if o:
         out = out[:, o:-o, o:-o, :]
