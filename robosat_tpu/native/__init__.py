@@ -81,13 +81,6 @@ def load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ctypes.POINTER(ctypes.c_int64),
         ]
-        lib.rs_polys_intersect_batch.restype = None
-        lib.rs_polys_intersect_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int8),
-        ]
         lib.rs_intersect_graph.restype = ctypes.POINTER(ctypes.c_int32)
         lib.rs_intersect_graph.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
@@ -288,44 +281,6 @@ def buffer_rings_batch(geom_rings, radius, quad_segs=8, mode="dilate", threads=N
         ctypes.byref(out_lens_ptr), ctypes.byref(out_geom_ptr), ctypes.byref(total_rings),
     )
     return _unpack_grouped(lib, coords_ptr, out_lens_ptr, out_geom_ptr, total_rings.value, n_geoms)
-
-
-def polys_intersect_batch(geoms, pairs, threads=None):
-    """Batched `polys_intersect` over index `pairs` into `geoms` (one native
-    call for the whole merge/dedupe candidate-graph build). Returns a bool
-    array aligned with pairs."""
-    lib = load()
-    assert lib is not None
-    n_pairs = len(pairs)
-    if n_pairs == 0:
-        return np.zeros(0, bool)
-    packs = [_pack_polygon_cached(g) for g in geoms]
-    ring_off = np.zeros(len(geoms) + 1, np.int64)
-    coord_off = np.zeros(len(geoms) + 1, np.int64)
-    for i, p in enumerate(packs):
-        coords_arr, lens_arr = p[3]
-        ring_off[i + 1] = ring_off[i] + len(lens_arr)
-        coord_off[i + 1] = coord_off[i] + len(coords_arr)
-    coords = np.concatenate([p[3][0] for p in packs]) if packs else np.zeros((0, 2))
-    lens = np.concatenate([p[3][1] for p in packs]) if packs else np.zeros(0, np.int32)
-    coords = np.ascontiguousarray(coords, np.float64)
-    lens = np.ascontiguousarray(lens, np.int32)
-    pa = np.ascontiguousarray([p[0] for p in pairs], np.int32)
-    pb = np.ascontiguousarray([p[1] for p in pairs], np.int32)
-    out = np.zeros(n_pairs, np.int8)
-    if threads is None:
-        threads = os.cpu_count() or 1
-    lib.rs_polys_intersect_batch(
-        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ring_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        coord_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        pa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        pb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n_pairs, int(threads),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-    )
-    return out.astype(bool)
 
 
 def _pack_poly_group(geom_polys):

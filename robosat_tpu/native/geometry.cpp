@@ -1676,37 +1676,6 @@ double* rs_buffer_rings_batch(const double* coords, const int32_t* ring_lens,
     return out;
 }
 
-// Batched polygon-pair intersection predicates: one call for all R-tree
-// candidate pairs of the merge/dedupe graph build (robosat/tools/merge.py:
-// 54-56 ran one GEOS .intersects per candidate). Geometries are packed once
-// (coords + per-geometry ring offsets); pairs index into them. Writes 0/1
-// per pair; threaded like the batch buffers.
-void rs_polys_intersect_batch(const double* coords, const int32_t* ring_lens,
-                              const int64_t* geom_ring_off, const int64_t* geom_coord_off,
-                              const int32_t* pairs_a, const int32_t* pairs_b, int64_t n_pairs,
-                              int32_t n_threads, int8_t* out) {
-    auto work = [&](int64_t t, int64_t stride) {
-        for (int64_t k = t; k < n_pairs; k += stride) {
-            int32_t a = pairs_a[k], b = pairs_b[k];
-            out[k] = (int8_t)rs_polys_intersect_impl(
-                coords + 2 * geom_coord_off[a], ring_lens + geom_ring_off[a],
-                (int32_t)(geom_ring_off[a + 1] - geom_ring_off[a]),
-                coords + 2 * geom_coord_off[b], ring_lens + geom_ring_off[b],
-                (int32_t)(geom_ring_off[b + 1] - geom_ring_off[b]));
-        }
-    };
-    if (n_threads <= 1 || n_pairs <= 1) {
-        work(0, 1);
-    } else {
-        int64_t t_use = std::min((int64_t)n_threads, n_pairs);
-        std::vector<std::thread> pool;
-        pool.reserve(t_use - 1);
-        for (int64_t t = 1; t < t_use; t++) pool.emplace_back(work, t, t_use);
-        work(0, t_use);
-        for (auto& th : pool) th.join();
-    }
-}
-
 // Batched winding-IoU: per group, the intersection and union areas of
 // (even-odd rings a) vs (the winding union of canonically-oriented rings b)
 // from ONE overlay each — the rs dedupe scoring loop without materializing
