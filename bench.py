@@ -284,10 +284,19 @@ def main():
             ("int8_sep", "blocked", headline_batch),
             ("int8_ptf", "blocked", headline_batch),
         ]
-        # BENCH_PALLAS=1 runs every variant; a comma list (e.g.
-        # BENCH_PALLAS=int8_ptf) selects specific ones.
+        # Any generic truthy value (1/true/yes/all) runs every variant; a
+        # comma list (e.g. BENCH_PALLAS=int8_ptf) selects specific ones. An
+        # unrecognized selection is an error, not a silent empty run.
         wanted = os.environ["BENCH_PALLAS"]
-        if wanted != "1":
+        if wanted.lower() not in ("1", "true", "yes", "all"):
+            names = {c[0] for c in pallas_cells}
+            unknown = [n for n in wanted.split(",") if n not in names]
+            if unknown:
+                raise SystemExit(
+                    "BENCH_PALLAS={!r}: unknown variant(s) {}; known: {}".format(
+                        wanted, unknown, sorted(names)
+                    )
+                )
             pallas_cells = [c for c in pallas_cells if c[0] in wanted.split(",")]
         cells += pallas_cells
     for dtype, layout, batch in cells:

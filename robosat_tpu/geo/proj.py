@@ -101,8 +101,16 @@ def wgs_to_mollweide(lng, lat):
     # calls this per candidate pair, so the common case matters.
     theta = newton(theta, 8)
     twot = 2.0 * theta
-    if np.any(np.abs(twot + np.sin(twot) - k) > 1e-12):
-        theta = newton(theta, 17)
+    # PER-POINT long tail: the extra iterations must depend only on each
+    # point's own residual — a collection-global any() would let one
+    # slow-converging (near-pole) vertex re-iterate EVERY vertex in the
+    # batch, perturbing already-converged coordinates by 1 ulp and making
+    # batched projections (geometry.transform_multipolygons over a whole
+    # feature collection) disagree with per-ring ones. An extra Newton step
+    # from a converged theta is a fixed point only in exact arithmetic.
+    need = np.abs(twot + np.sin(twot) - k) > 1e-12
+    if np.any(need):
+        theta = np.where(need, newton(theta, 17), theta)
     theta = np.clip(theta, -np.pi / 2.0, np.pi / 2.0)
 
     x = 2.0 * np.sqrt(2.0) / np.pi * A * lam * np.cos(theta)

@@ -815,7 +815,12 @@ LinkedRings link_rings(const std::vector<double>& edge_soup, double q) {
 double ring_signed_area(const std::vector<Pt>& r) {
     // Centered on the first vertex: raw shoelace products at projected-CRS
     // magnitudes (~1.4e7 m) carry ~0.008 m^2 of rounding EACH and a long
-    // ring drifts ~1 m^2 (mirrors geo/geometry.py ring_area).
+    // ring drifts ~1 m^2 (mirrors geo/geometry.py ring_area). Caveat kept
+    // deliberately: the SUMMATION ORDER here is sequential while numpy's
+    // ring_area dots through BLAS (blocked/pairwise), so EXACT-ZERO
+    // classification of adversarially degenerate slivers can differ between
+    // the engines by one rounding step; area VALUES agree to ~1e-9 relative
+    // and no geometry this pipeline produces sits on that knife edge.
     double a = 0.0;
     const Pt& o = r[0];
     for (size_t i = 0; i < r.size(); i++) {
@@ -1664,7 +1669,12 @@ double* rs_buffer_rings_batch(const double* coords, const int32_t* ring_lens,
     *out_geom_nrings = (int32_t*)std::malloc(std::max((size_t)n_geoms, (size_t)1) * sizeof(int32_t));
     *out_ring_lens = (int32_t*)std::malloc(std::max(total_rings, (size_t)1) * sizeof(int32_t));
     double* out = (double*)std::malloc(std::max(total_coords, (size_t)1) * sizeof(double));
-    if (!*out_geom_nrings || !*out_ring_lens || !out) return out;
+    if (!*out_geom_nrings || !*out_ring_lens || !out) {
+        // Partial malloc failure: report zero rings so the Python side
+        // unpacks empties instead of dereferencing a NULL output pointer.
+        *out_total_rings = 0;
+        return out;
+    }
     size_t rpos = 0, cpos = 0;
     for (int c = 0; c < n_geoms; c++) {
         (*out_geom_nrings)[c] = (int32_t)outs[c].lens.size();
@@ -1892,7 +1902,11 @@ double* rs_merge_components(const double* coords, const int32_t* ring_lens,
     *out_comp_nrings = (int32_t*)std::malloc(std::max((size_t)n_comps, (size_t)1) * sizeof(int32_t));
     *out_ring_lens = (int32_t*)std::malloc(std::max(total_rings, (size_t)1) * sizeof(int32_t));
     double* out = (double*)std::malloc(std::max(total_coords, (size_t)1) * sizeof(double));
-    if (!*out_comp_nrings || !*out_ring_lens || !out) return out;
+    if (!*out_comp_nrings || !*out_ring_lens || !out) {
+        // Partial malloc failure: see rs_buffer_rings_batch.
+        *out_total_rings = 0;
+        return out;
+    }
     size_t rpos = 0, cpos = 0;
     for (int c = 0; c < n_comps; c++) {
         (*out_comp_nrings)[c] = (int32_t)outs[c].lens.size();

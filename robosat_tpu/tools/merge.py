@@ -63,7 +63,8 @@ def build_graph(shapes_el, embiggened, graph):
     phase + predicates in ONE call; the fallback queries an R-tree per
     feature like the reference."""
     native = _native()
-    if native is None:
+    polygonal = all(isinstance(g, (Polygon, MultiPolygon)) for g in shapes_el)
+    if native is None or not polygonal:
         idx = make_index(shapes_el)
         for i, grown in enumerate(tqdm(embiggened, desc="Building graph", unit="shapes", ascii=True)):
             graph.add_edge(i, i)

@@ -85,3 +85,32 @@ def test_dedupe_batched_matches_per_prediction_fallback(tmp_path):
     # (neighbors overlapping an identical twin can dilute its IoU below the
     # threshold, so not all 80).
     assert sum(1 for v in loop if not v) >= 50
+
+
+def test_merge_handles_non_polygonal_features(tmp_path):
+    """A LineString feature must route the batched phases to the fallback
+    loops instead of crashing the native packer (round-5 review finding)."""
+    from robosat_tpu.tools import merge
+
+    city = _city(6, seed=9)
+    city["features"].append({
+        "type": "Feature", "properties": {},
+        "geometry": {"type": "LineString",
+                     "coordinates": [[-122.41, 37.75], [-122.409, 37.7501]]},
+    })
+    src = tmp_path / "mixed.geojson"
+    src.write_text(json.dumps(city))
+    out = tmp_path / "merged.geojson"
+    merge.main(argparse.Namespace(features=str(src), threshold=2, out=str(out)))
+    assert json.loads(out.read_text())["type"] == "FeatureCollection"
+
+
+def test_mollweide_batching_invariant_near_pole():
+    """The Mollweide Newton long tail is decided PER POINT: a slow-converging
+    near-pole vertex in a batch must not perturb other points' coordinates
+    (round-5 review finding — batched transform_multipolygons vs per-ring)."""
+    from robosat_tpu.geo import proj
+
+    alone = proj.wgs_to_mollweide(np.array([-122.42]), np.array([37.76]))
+    batched = proj.wgs_to_mollweide(np.array([-122.42, 0.0]), np.array([37.76, 89.99999]))
+    assert alone[0][0] == batched[0][0] and alone[1][0] == batched[1][0]
