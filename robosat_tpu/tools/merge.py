@@ -137,8 +137,16 @@ def main(args):
     # Project into EPSG:3395 ONCE and run the whole grow/graph/union/erode
     # pipeline in meters; World Mercator is separable and monotone per axis,
     # so bounding boxes and intersection predicates agree with their WGS84
-    # counterparts, and only the final merged outlines project back.
-    shapes_el = [project_wgs_el(geom) for geom in shapes]
+    # counterparts, and only the final merged outlines project back. All
+    # polygonal collections project in one vectorized pass (identical
+    # values — the projection is an elementwise ufunc chain).
+    if all(isinstance(g, (Polygon, MultiPolygon)) for g in shapes):
+        shapes_el = transform_multipolygons(
+            [g if isinstance(g, MultiPolygon) else MultiPolygon([g]) for g in shapes],
+            proj.wgs_to_worldmercator,
+        )
+    else:
+        shapes_el = [project_wgs_el(geom) for geom in shapes]
 
     graph = UndirectedGraph()
 
