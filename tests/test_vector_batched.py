@@ -105,6 +105,45 @@ def test_merge_handles_non_polygonal_features(tmp_path):
     assert json.loads(out.read_text())["type"] == "FeatureCollection"
 
 
+def test_vectorized_input_projection_matches_per_feature():
+    """The merge tool's one-pass EPSG:3395 input projection must produce
+    bit-identical coordinates to the per-feature `project_wgs_el` path it
+    replaced (the projection is an elementwise ufunc chain, so values must
+    match exactly, not approximately)."""
+    from robosat_tpu.geo.geometry import (
+        MultiPolygon, Polygon, shape, transform_multipolygons,
+    )
+    from robosat_tpu.geo import proj
+    from robosat_tpu.spatial.core import project_wgs_el
+
+    city = _city(12, seed=3)
+    # include a hole and a genuine MultiPolygon to cover every layout branch
+    sq = city["features"][0]["geometry"]["coordinates"][0]
+    cx, cy = sq[0]
+    city["features"][0]["geometry"]["coordinates"].append(
+        [[cx + 2e-5, cy + 2e-5], [cx + 4e-5, cy + 2e-5],
+         [cx + 3e-5, cy + 4e-5], [cx + 2e-5, cy + 2e-5]])
+    mp_coords = [city["features"][1]["geometry"]["coordinates"],
+                 city["features"][2]["geometry"]["coordinates"]]
+    city["features"][1]["geometry"] = {"type": "MultiPolygon", "coordinates": mp_coords}
+    del city["features"][2]
+
+    shapes = [shape(f["geometry"]) for f in city["features"]]
+    batched = transform_multipolygons(
+        [g if isinstance(g, MultiPolygon) else MultiPolygon([g]) for g in shapes],
+        proj.wgs_to_worldmercator,
+    )
+    for g, b in zip(shapes, batched):
+        ref = project_wgs_el(g)
+        ref_polys = list(ref.geoms) if isinstance(ref, MultiPolygon) else [ref]
+        assert len(ref_polys) == len(b.geoms)
+        for rp, bp in zip(ref_polys, b.geoms):
+            assert np.array_equal(np.asarray(rp.shell), np.asarray(bp.shell))
+            assert len(rp.holes) == len(bp.holes)
+            for rh, bh in zip(rp.holes, bp.holes):
+                assert np.array_equal(np.asarray(rh), np.asarray(bh))
+
+
 def test_mollweide_batching_invariant_near_pole():
     """The Mollweide Newton long tail is decided PER POINT: a slow-converging
     near-pole vertex in a batch must not perturb other points' coordinates
